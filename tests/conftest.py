@@ -1,0 +1,20 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-native answer to "test multi-node without a cluster"
+(SURVEY.md §4): XLA host platform with 8 virtual devices lets the pjit
+sharding paths compile and execute exactly as they would on a v5e-8.
+Must run before the first `import jax` anywhere in the test session.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,364 @@
+"""Torch <-> flax checkpoint conversion.
+
+The parity bridge to the reference's released ``.pth`` checkpoints
+(``test_avs_semantic.py:204-207``, ``test_avss_resize.py:230-235``,
+pretrain loading via ``utils/pyt_utils.load_model:42-60``). Unlike the
+reference's ``strict=False`` habit, conversion here is strict-by-default
+and returns a full report of unmatched keys in both directions.
+
+Naming contract (torch module tree -> flax param paths):
+
+- ``backbone.backbone.conv1.{0,1,3,4,6}``  -> ResNet deep-stem
+  stem_conv1/stem_bn1/stem_conv2/stem_bn2/stem_conv3
+- ``backbone.backbone.layer{i}.{j}.*``     -> ``layer{i}_{j}.*``
+  (conv1..3/bn1..3, downsample.0/1 -> downsample_conv/bn)
+- ``segment.aspp.map_convs.{k}``           -> ``aspp.map_conv{k}`` etc.
+- ``segment.reduce.{0,1}``                 -> reduce_conv / reduce_bn
+- ``segment.upsample.last_conv.{0,1,3,4}`` -> last_conv0/last_bn0/...
+- ``cross_att.*``, ``visual_projector.*``  -> 1:1 (blocks.0 -> block0)
+- ``audio_backbone.backbone.features.{idx}`` (VGG conv Sequential
+  indices 0,3,6,8,11,13) -> ``audio_net.net.conv{0..5}``;
+  ``embeddings.{0,2,4}`` -> fc0/fc1/fc2;
+  torchvision audio resnet18 stem/layers/fc -> ``audio_net.net.*``.
+
+Weight layout: conv OIHW->HWIO, linear [out,in]->[in,out], BN
+weight/bias -> scale/bias params and running_mean/var -> batch_stats.
+DDP ``module.`` prefixes and the ``{"model": ...}`` wrapper are stripped
+(engine/engine.py:91, pyt_utils.load_model:48-52).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+# VGG "features" Sequential conv indices for cfg [64,M,128,M,256,256,M,512,512,M]
+_VGG_CONV_IDX = {0: 0, 3: 1, 6: 2, 8: 3, 11: 4, 13: 5}
+_STEM_IDX = {"0": "stem_conv1", "1": "stem_bn1", "3": "stem_conv2",
+             "4": "stem_bn2", "6": "stem_conv3"}
+_ASPP = {
+    "map_bn": "aspp.map_bn", "global_pooling_conv": "aspp.global_pooling_conv",
+    "global_pooling_bn": "aspp.global_pooling_bn", "red_conv": "aspp.red_conv",
+    "pool_red_conv": "aspp.pool_red_conv", "red_bn": "aspp.red_bn",
+}
+_LAST_CONV = {"0": "last_conv0", "1": "last_bn0", "3": "last_conv1",
+              "4": "last_bn1"}
+
+
+def _translate_resnet(rest: str) -> Optional[str]:
+    """backbone.backbone.<rest> -> flax ResNet path."""
+    m = re.match(r"conv1\.(\d)\.(.*)", rest)
+    if m:
+        return f"{_STEM_IDX[m.group(1)]}.{m.group(2)}"
+    if rest.startswith("bn1."):
+        return rest
+    m = re.match(r"layer(\d)\.(\d+)\.(.*)", rest)
+    if m:
+        stage, block, tail = m.groups()
+        tail = tail.replace("downsample.0", "downsample_conv")
+        tail = tail.replace("downsample.1", "downsample_bn")
+        return f"layer{stage}_{block}.{tail}"
+    return None
+
+
+def _translate_audio(rest: str) -> Optional[str]:
+    """audio_backbone.<rest> -> flax audio_net path."""
+    if rest.startswith("cls_head."):
+        return f"audio_net.cls_head.{rest.split('.', 1)[1]}"
+    if not rest.startswith("backbone."):
+        return None
+    rest = rest.split(".", 1)[1]
+    m = re.match(r"features\.(\d+)\.(.*)", rest)
+    if m:
+        idx = int(m.group(1))
+        if idx not in _VGG_CONV_IDX:
+            return None
+        return f"audio_net.net.conv{_VGG_CONV_IDX[idx]}.{m.group(2)}"
+    m = re.match(r"embeddings\.(\d)\.(.*)", rest)
+    if m:
+        return f"audio_net.net.fc{int(m.group(1)) // 2}.{m.group(2)}"
+    # torchvision resnet18 audio tower
+    m = re.match(r"layer(\d)\.(\d+)\.(.*)", rest)
+    if m:
+        stage, block, tail = m.groups()
+        tail = tail.replace("downsample.0", "downsample_conv")
+        tail = tail.replace("downsample.1", "downsample_bn")
+        return f"audio_net.net.layer{stage}_{block}.{tail}"
+    if rest.startswith(("conv1.", "bn1.", "fc.")):
+        return f"audio_net.net.{rest}"
+    return None
+
+
+def _translate_segment(rest: str) -> Optional[str]:
+    m = re.match(r"aspp\.map_convs\.(\d)\.(.*)", rest)
+    if m:
+        return f"segment.aspp.map_conv{m.group(1)}.{m.group(2)}"
+    m = re.match(r"aspp\.(\w+)\.(.*)", rest)
+    if m and m.group(1) in _ASPP:
+        return f"segment.{_ASPP[m.group(1)]}.{m.group(2)}"
+    m = re.match(r"reduce\.([01])\.(.*)", rest)
+    if m:
+        name = "reduce_conv" if m.group(1) == "0" else "reduce_bn"
+        return f"segment.{name}.{m.group(2)}"
+    m = re.match(r"upsample\.last_conv\.(\d)\.(.*)", rest)
+    if m and m.group(1) in _LAST_CONV:
+        return f"segment.upsample.{_LAST_CONV[m.group(1)]}.{m.group(2)}"
+    m = re.match(r"upsample\.classifier\.(.*)", rest)
+    if m:
+        return f"segment.upsample.classifier.{m.group(1)}"
+    return None
+
+
+def _translate_fusion(key: str) -> Optional[str]:
+    key = key.replace("blocks.0.", "block0.").replace("blocks.1.", "block1.")
+    key = key.replace(".mlp.fc1.", ".mlp.fc1.").replace(".mlp.fc2.", ".mlp.fc2.")
+    return key
+
+
+def translate_torch_key(key: str) -> Optional[str]:
+    """Torch CAVP state_dict key -> dotted flax path (collection-agnostic;
+    the leaf suffix decides params vs batch_stats). None = untranslatable."""
+    key = re.sub(r"^module\.", "", key)
+    if key.endswith("num_batches_tracked"):
+        return "<drop>"
+    if key.startswith("backbone.backbone."):
+        out = _translate_resnet(key[len("backbone.backbone."):])
+        return f"backbone.{out}" if out else None
+    if key.startswith("segment."):
+        return _translate_segment(key[len("segment."):])
+    if key.startswith("audio_backbone."):
+        return _translate_audio(key[len("audio_backbone."):])
+    if key.startswith(("cross_att.", "visual_projector.")):
+        return _translate_fusion(key)
+    if key.startswith("memory"):
+        return "<drop>"  # model-level SoundBank buffer (dead code)
+    return None
+
+
+_LEAF_MAP = {
+    "weight": ("params", None),        # kernel or scale, shape decides
+    "bias": ("params", "bias"),
+    "running_mean": ("batch_stats", "mean"),
+    "running_var": ("batch_stats", "var"),
+}
+
+
+def import_torch_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    params: Any,
+    batch_stats: Any,
+) -> Tuple[Any, Any, Dict[str, List[str]]]:
+    """Load a torch state dict into (params, batch_stats) pytrees.
+
+    Returns (params, batch_stats, report) with report keys
+    ``missing`` (flax leaves not filled), ``unexpected`` (torch keys with
+    no target), ``converted``.
+    """
+    import flax
+
+    flat_p = flax.traverse_util.flatten_dict(params, sep=".")
+    flat_b = flax.traverse_util.flatten_dict(batch_stats, sep=".")
+    filled = set()
+    unexpected = []
+    converted = []
+
+    for tkey, value in state_dict.items():
+        value = np.asarray(value)
+        path = translate_torch_key(tkey)
+        if path == "<drop>":
+            continue
+        if path is None:
+            unexpected.append(tkey)
+            continue
+        mod_path, leaf = path.rsplit(".", 1)
+        if leaf == "weight":
+            # decide kernel vs BN scale vs pos_embed by target existence
+            if f"{mod_path}.kernel" in flat_p:
+                tgt, name = flat_p, f"{mod_path}.kernel"
+                if value.ndim == 4:
+                    value = value.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+                elif value.ndim == 2:
+                    value = value.T
+                coll = "p"
+            elif f"{mod_path}.scale" in flat_p:
+                tgt, name, coll = flat_p, f"{mod_path}.scale", "p"
+            else:
+                unexpected.append(tkey)
+                continue
+        elif leaf == "bias":
+            name, coll = f"{mod_path}.bias", "p"
+            tgt = flat_p
+        elif leaf == "running_mean":
+            name, coll = f"{mod_path}.mean", "b"
+            tgt = flat_b
+        elif leaf == "running_var":
+            name, coll = f"{mod_path}.var", "b"
+            tgt = flat_b
+        else:
+            # direct param (pos_embed_v etc.)
+            name, coll = path, "p"
+            tgt = flat_p
+            if name not in tgt:
+                unexpected.append(tkey)
+                continue
+        if name not in tgt:
+            unexpected.append(tkey)
+            continue
+        expected_shape = tuple(tgt[name].shape)
+        if tuple(value.shape) != expected_shape:
+            raise ValueError(
+                f"shape mismatch for {tkey} -> {name}: "
+                f"{value.shape} vs {expected_shape}")
+        tgt[name] = value.astype(np.asarray(tgt[name]).dtype)
+        filled.add((coll, name))
+        converted.append(tkey)
+
+    missing = [k for k in flat_p if ("p", k) not in filled]
+    missing += [k for k in flat_b if ("b", k) not in filled]
+    report = {"missing": missing, "unexpected": unexpected,
+              "converted": converted}
+    new_params = flax.traverse_util.unflatten_dict(flat_p, sep=".")
+    new_bs = flax.traverse_util.unflatten_dict(flat_b, sep=".")
+    return new_params, new_bs, report
+
+
+def export_torch_state_dict(params: Any, batch_stats: Any) -> Dict[str, np.ndarray]:
+    """Inverse mapping: flax pytrees -> torch-named state dict (used by
+    round-trip tests and for exporting back to the reference tooling)."""
+    import flax
+
+    flat_p = flax.traverse_util.flatten_dict(params, sep=".")
+    flat_b = flax.traverse_util.flatten_dict(batch_stats, sep=".")
+
+    # Build reverse index by enumerating plausible torch keys via the
+    # forward translator over a candidate torch-name grammar.
+    out: Dict[str, np.ndarray] = {}
+    consumed = set()
+
+    def try_put(tkey: str):
+        path = translate_torch_key(tkey)
+        if path in (None, "<drop>"):
+            return
+        mod_path, leaf = path.rsplit(".", 1)
+        if leaf == "weight":
+            if f"{mod_path}.kernel" in flat_p:
+                v = np.asarray(flat_p[f"{mod_path}.kernel"])
+                v = v.transpose(3, 2, 0, 1) if v.ndim == 4 else v.T
+                out[tkey] = v
+                consumed.add(f"{mod_path}.kernel")
+            elif f"{mod_path}.scale" in flat_p:
+                out[tkey] = np.asarray(flat_p[f"{mod_path}.scale"])
+                consumed.add(f"{mod_path}.scale")
+        elif leaf == "bias" and f"{mod_path}.bias" in flat_p:
+            out[tkey] = np.asarray(flat_p[f"{mod_path}.bias"])
+            consumed.add(f"{mod_path}.bias")
+        elif leaf == "running_mean" and f"{mod_path}.mean" in flat_b:
+            out[tkey] = np.asarray(flat_b[f"{mod_path}.mean"])
+        elif leaf == "running_var" and f"{mod_path}.var" in flat_b:
+            out[tkey] = np.asarray(flat_b[f"{mod_path}.var"])
+        elif path in flat_p:
+            out[tkey] = np.asarray(flat_p[path])
+            consumed.add(path)
+
+    for tkey in enumerate_torch_keys(flat_p, flat_b):
+        try_put(tkey)
+    return out
+
+
+def enumerate_torch_keys(flat_p, flat_b) -> List[str]:
+    """Generate the torch key namespace corresponding to the flax leaves."""
+    keys: List[str] = []
+
+    def inv_module(mod: str) -> Optional[str]:
+        # invert the per-module translations
+        if mod.startswith("backbone."):
+            rest = mod[len("backbone."):]
+            for t, f in _STEM_IDX.items():
+                if rest == f:
+                    return f"backbone.backbone.conv1.{t}"
+            if rest == "bn1":
+                return "backbone.backbone.bn1"
+            m = re.match(r"layer(\d)_(\d+)\.(.*)", rest)
+            if m:
+                tail = m.group(3).replace("downsample_conv", "downsample.0")
+                tail = tail.replace("downsample_bn", "downsample.1")
+                return f"backbone.backbone.layer{m.group(1)}.{m.group(2)}.{tail}"
+            m = re.match(r"layer(\d)_(\d+)$", rest)
+            if m:
+                return f"backbone.backbone.layer{m.group(1)}.{m.group(2)}"
+            return None
+        if mod.startswith("segment."):
+            rest = mod[len("segment."):]
+            m = re.match(r"aspp\.map_conv(\d)$", rest)
+            if m:
+                return f"segment.aspp.map_convs.{m.group(1)}"
+            for t, f in _ASPP.items():
+                if rest == f:
+                    return f"segment.aspp.{t}"
+            if rest == "reduce_conv":
+                return "segment.reduce.0"
+            if rest == "reduce_bn":
+                return "segment.reduce.1"
+            for t, f in _LAST_CONV.items():
+                if rest == f"upsample.{f}":
+                    return f"segment.upsample.last_conv.{t}"
+            if rest == "upsample.classifier":
+                return "segment.upsample.classifier"
+            return None
+        if mod.startswith("audio_net."):
+            rest = mod[len("audio_net."):]
+            if rest.startswith("cls_head"):
+                return "audio_backbone.cls_head"
+            assert rest.startswith("net.")
+            rest = rest[4:]
+            m = re.match(r"conv(\d)$", rest)
+            if m:
+                inv_vgg = {v: k for k, v in _VGG_CONV_IDX.items()}
+                return (f"audio_backbone.backbone.features."
+                        f"{inv_vgg[int(m.group(1))]}")
+            m = re.match(r"fc(\d)$", rest)
+            if m:
+                return f"audio_backbone.backbone.embeddings.{int(m.group(1)) * 2}"
+            m = re.match(r"layer(\d)_(\d+)\.(.*)", rest)
+            if m:
+                tail = m.group(3).replace("downsample_conv", "downsample.0")
+                tail = tail.replace("downsample_bn", "downsample.1")
+                return f"audio_backbone.backbone.layer{m.group(1)}.{m.group(2)}.{tail}"
+            m = re.match(r"layer(\d)_(\d+)$", rest)
+            if m:
+                return f"audio_backbone.backbone.layer{m.group(1)}.{m.group(2)}"
+            if rest in ("conv1", "bn1", "fc"):
+                return f"audio_backbone.backbone.{rest}"
+            return None
+        if mod.startswith("cross_att.") or mod.startswith("visual_projector"):
+            return mod.replace("block0.", "blocks.0.").replace(
+                "block1.", "blocks.1.")
+        return None
+
+    leaf_inv = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}
+    for flat, leaves in ((flat_p, ("kernel", "scale", "bias")),
+                         (flat_b, ("mean", "var"))):
+        for k in flat:
+            mod, leaf = k.rsplit(".", 1)
+            if leaf in leaves:
+                t = inv_module(mod)
+                if t:
+                    keys.append(f"{t}.{leaf_inv[leaf]}")
+            elif k.startswith("cross_att."):
+                keys.append(k.replace("block0.", "blocks.0."))
+    return keys
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth file (reference save format: {"model": state_dict, ...},
+    engine/engine.py:72-100) into a numpy dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        ckpt = ckpt["model"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in ckpt.items()}

@@ -1,0 +1,268 @@
+"""Jitted train / eval step builders.
+
+Rebuilds the four trainer classes' hot loops (``trainer/trainer_cavp_*``)
+as pure step functions compiled once per setup:
+
+- :func:`make_train_step` — the CoroCL batch construction
+  (shuffle-permute, overwrite-miss-match, SoundBank FIFO, matched ‖
+  shuffled duplicate forward), CE + CoroCL objective, multi-group
+  SGD/Adam update, all inside one XLA program. Per-setup differences
+  (`trainer_cavp_avss_image` vs `vpo_mono` vs `vpo_stereo`) are the
+  static ``variant`` knobs.
+- :func:`make_eval_step` — the per-video validation loop
+  (`trainer_cavp_avss_image.py:409-534`) rebuilt as a *batched* step
+  over padded [B, T] frame stacks with validity masks (the reference
+  runs batch-1 python loops with per-frame .cpu() syncs; this is where
+  the ≥5x eval throughput comes from). Metric accumulators (MIoU,
+  ForegroundDetect for ALL + multi-source subsets) are carried device
+  state.
+- :func:`make_jf_test_step` — the AVS-Object J&F test path
+  (`trainer_cavp_avs_obj.py:292-353`): per-video mask_iou + F-measure.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cavp_tpu.audio.mel import preprocess_audio
+from cavp_tpu.losses import corocl_loss, cross_entropy
+from cavp_tpu.metrics import (
+    eval_fmeasure,
+    fg_init,
+    fg_update,
+    mask_iou,
+    miou_init,
+    miou_update,
+)
+from cavp_tpu.models.soundbank import (
+    overwrite_from_bank,
+    overwrite_miss_match,
+    update_bank,
+)
+
+# ---------------------------------------------------------------------------
+# Train
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(
+    model,
+    tx,
+    config,
+    *,
+    variant: str = "avss",      # "avss" | "vpo_mono" | "vpo_stereo"
+):
+    """Returns train_step(state, batch, rng, epoch) -> (state, metrics).
+
+    batch: image [B,H,W,3] (normalized), waveform [B,Ca,L],
+    pix_label [B,H,W] int32, img_label [B,num_classes] int32 multi-hot.
+    ``epoch`` is a traced scalar — the reference's epoch>=1 gates stay
+    inside one compiled step.
+    """
+    n_frames = config.mel_frames
+    use_wave_bank = variant in ("avss", "vpo_mono") and not (
+        variant == "avss" and (config.avsbench_split != "all"
+                               or config.setup == "avss_binary"))
+    use_overwrite = variant != "avss" or (
+        config.avsbench_split == "all" and config.setup != "avss_binary")
+    filter_bg_only = variant == "vpo_stereo"
+    use_pallas = getattr(config, "use_pallas_mel", False)
+
+    def train_step(state, batch, rng, epoch):
+        image = batch["image"]
+        waveform = batch["waveform"]          # [B, Ca, L]
+        pix_label = batch["pix_label"]
+        img_label = batch["img_label"]
+        B = image.shape[0]
+
+        k_shuffle, k_ow, k_ctr = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
+
+        ow_flag = epoch >= 1
+
+        # --- shuffle batch construction (trainer_cavp_avss_image.py:178-198)
+        shuffle_idx = jax.random.permutation(k_shuffle, B)
+        shuffle_img_label = img_label[shuffle_idx]
+        if_match = jnp.all(img_label == shuffle_img_label, axis=1)
+        shuffle_wave = waveform[shuffle_idx]
+
+        sound_bank = state.sound_bank
+        if use_overwrite:
+            ow = overwrite_miss_match(
+                k_ow, if_match, shuffle_img_label, img_label,
+                config.ow_rate, filter_bg_only=filter_bg_only,
+                enabled=ow_flag)
+            if_match, shuffle_img_label = ow.if_match, ow.shuffle_img_label
+            if use_wave_bank:
+                flat_wave = waveform.reshape(B, -1)
+                banked = overwrite_from_bank(
+                    sound_bank, shuffle_wave.reshape(B, -1),
+                    ow.change_mask & ow_flag, ow.target_class)
+                shuffle_wave = banked.reshape(shuffle_wave.shape)
+        if use_wave_bank:
+            sound_bank = update_bank(
+                sound_bank, waveform.reshape(B, -1), img_label,
+                per_label=False)
+
+        input_wave = jnp.concatenate([waveform, shuffle_wave], axis=0)
+        audio = preprocess_audio(input_wave, n_frames=n_frames,
+                                 spec_min=config.spec_min,
+                                 spec_max=config.spec_max,
+                                 use_pallas=use_pallas)
+
+        # shuffle GT rules (trainer_cavp_avss_image.py:209-212)
+        gt_shuffle = jnp.where(if_match[:, None, None], pix_label, 0)
+
+        def loss_fn(params):
+            (logits2b, fused2b, _pack), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                image, audio, eval_mode=False, mutable=["batch_stats"])
+            output = logits2b[:B]  # + 0*logits2b[B:] — identical gradient
+            l_ce = cross_entropy(output, pix_label)
+            l_ctr, aux = corocl_loss(
+                k_ctr, fused2b[:B], pix_label, fused2b[B:], gt_shuffle,
+                num_classes=config.num_classes,
+                temperature=config.cl_temp,
+                max_views=config.max_view,
+                class_slots=config.class_slots)
+            loss = l_ce + l_ctr
+            return loss, (mutated["batch_stats"], l_ce, l_ctr, aux)
+
+        (loss, (new_bs, l_ce, l_ctr, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            sound_bank=sound_bank,
+        )
+        metrics = {
+            "loss/loss": loss,
+            "loss/cross_entropy": l_ce,
+            "loss/l_ctr_av": l_ctr,
+            **aux,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# Eval (AVSS validation: MIoU + ForegroundDetect, ALL + MS subsets)
+# ---------------------------------------------------------------------------
+
+
+class EvalMetrics(NamedTuple):
+    miou_all: Any
+    miou_ms: Any
+    fg_all: jnp.ndarray
+    fg_ms: jnp.ndarray
+
+
+def eval_metrics_init(num_classes: int) -> EvalMetrics:
+    return EvalMetrics(
+        miou_all=miou_init(num_classes),
+        miou_ms=miou_init(num_classes),
+        fg_all=fg_init(num_classes),
+        fg_ms=fg_init(num_classes),
+    )
+
+
+def eval_metrics_result(m: EvalMetrics) -> Dict[str, jnp.ndarray]:
+    from cavp_tpu.metrics import fg_result, miou_result
+
+    v_miou, v_acc = miou_result(m.miou_all)
+    v_miou_ms, v_acc_ms = miou_result(m.miou_ms)
+    fd, f1, f03 = fg_result(m.fg_all)
+    fd_ms, f1_ms, f03_ms = fg_result(m.fg_ms)
+    return {
+        "miou": v_miou, "acc": v_acc, "fdr": fd, "f_1": f1, "f_0.3": f03,
+        "miou_ms": v_miou_ms, "acc_ms": v_acc_ms, "fdr_ms": fd_ms,
+        "f_1_ms": f1_ms, "f_0.3_ms": f03_ms,
+    }
+
+
+def _multi_source_flag(pix_label: jnp.ndarray, thresh: int = 100) -> jnp.ndarray:
+    """validation's MS gate (trainer_cavp_avss_image.py:449-451): more
+    than 2 label values (incl. bg/ignore) covering >100 px each."""
+    hist = jnp.zeros((256,), jnp.int32).at[
+        jnp.clip(pix_label.reshape(-1), 0, 255)].add(1)
+    return jnp.sum(hist > thresh) > 2
+
+
+def make_eval_step(model, config):
+    """Returns eval_step(variables, metrics, batch) -> metrics.
+
+    batch: image [N,H,W,3], waveform [N,Ca,L], pix_label [N,H,W],
+    valid [N] (0/1 padding mask) — N = videos*frames flattened by the
+    pipeline; padded frames carry valid=0.
+    """
+    n_frames = config.mel_frames
+    use_pallas = getattr(config, "use_pallas_mel", False)
+
+    def eval_step(variables, metrics: EvalMetrics, batch) -> EvalMetrics:
+        image = batch["image"]
+        audio = preprocess_audio(batch["waveform"], n_frames=n_frames,
+                                 spec_min=config.spec_min,
+                                 spec_max=config.spec_max,
+                                 use_pallas=use_pallas)
+        pix_label = batch["pix_label"]
+        valid = batch["valid"].astype(jnp.float32)
+
+        logits, _, _ = model.apply(variables, image, audio, eval_mode=True)
+
+        ms = jax.vmap(_multi_source_flag)(pix_label).astype(jnp.float32) * valid
+
+        return EvalMetrics(
+            miou_all=miou_update(metrics.miou_all, logits, pix_label,
+                                 weight=valid),
+            miou_ms=miou_update(metrics.miou_ms, logits, pix_label,
+                                weight=ms),
+            fg_all=fg_update(metrics.fg_all, logits, pix_label, weight=valid),
+            fg_ms=fg_update(metrics.fg_ms, logits, pix_label, weight=ms),
+        )
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# AVS-Object J&F test (S4 / MS3)
+# ---------------------------------------------------------------------------
+
+
+def make_jf_test_step(model, config):
+    """Returns jf_step(variables, batch) -> (miou, fscore) per video.
+
+    batch: one video — image [T,H,W,3], waveform [T,Ca,L],
+    pix_label [T,H,W] binary {0,1}, valid [T].
+    Mirrors trainer_cavp_avs_obj.test:292-353: J = mask_iou over the
+    video's frames on argmax masks; F = Eval_Fmeasure on class-1 softmax.
+    """
+    n_frames = config.mel_frames
+
+    def jf_step(variables, batch):
+        image = batch["image"]
+        audio = preprocess_audio(batch["waveform"], n_frames=n_frames,
+                                 spec_min=config.spec_min,
+                                 spec_max=config.spec_max)
+        gt = batch["pix_label"].astype(jnp.float32)
+        valid = batch["valid"]
+
+        logits, _, _ = model.apply(variables, image, audio, eval_mode=True)
+        pred_mask = jnp.argmax(logits, axis=-1).astype(jnp.float32)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+
+        miou = mask_iou(pred_mask, gt, weight=valid)
+        fscore = eval_fmeasure(probs, gt, weight=valid)
+        return miou, fscore
+
+    return jf_step

@@ -1,0 +1,103 @@
+"""Optimizers: the reference's two-optimizer, multi-group structure.
+
+Rebuilds ``set_group_lr`` (main_avss_resize.py:50-72), ``group_weight``
+(engine/utils.py:642-688), the ``lr_step`` group scaling
+(trainer_cavp_avss_image.py:78-91), and the Adam audio optimizer
+(main_avss_resize.py:133) as one optax ``multi_transform`` over the
+unified CAVP param tree:
+
+- ``seg_*``  : everything under ``segment`` — SGD, lr x10;
+- ``bkb_*``  : everything under ``backbone`` — SGD, lr x1;
+- ``fusion`` : ``cross_att`` + ``visual_projector`` — SGD, lr x1, with
+  weight decay on *all* params (the reference appends these as plain
+  param groups, so unlike group_weight'd modules their biases/norms DO
+  decay);
+- ``audio``  : ``audio_net`` — Adam at a constant ``args.lr`` (the
+  reference never schedules the audio optimizer; lr_audio == args.lr).
+
+``*_decay`` vs ``*_nodecay`` replicates group_weight: conv/linear
+kernels decay; biases and norm scales don't. Torch-SGD semantics
+(decoupled nothing — wd added to the gradient before momentum) are
+preserved by the add_decayed_weights -> trace -> scale ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _flat_path(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def param_label(path, leaf) -> str:
+    """Assign an optimizer group label to a param tree path."""
+    flat = _flat_path(path)
+    leaf_name = flat.rsplit("/", 1)[-1]
+    is_decay = leaf_name == "kernel"
+    if flat.startswith("audio_net"):
+        return "audio"
+    if flat.startswith("segment"):
+        return "seg_decay" if is_decay else "seg_nodecay"
+    if flat.startswith("backbone"):
+        return "bkb_decay" if is_decay else "bkb_nodecay"
+    # cross_att + visual_projector: single plain group, wd on everything
+    return "fusion"
+
+
+def label_params(params) -> Any:
+    return jax.tree_util.tree_map_with_path(param_label, params)
+
+
+def sgd_group(schedule: Callable, lr_multiplier: float, momentum: float,
+              weight_decay: float) -> optax.GradientTransformation:
+    """Torch SGD: grad += wd * param; buf = momentum*buf + grad;
+    param -= lr * buf."""
+    chain = []
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.trace(decay=momentum, nesterov=False))
+    chain.append(optax.scale_by_schedule(
+        lambda count: -lr_multiplier * schedule(count)))
+    return optax.chain(*chain)
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    """The full two-optimizer structure over one param tree."""
+    from cavp_tpu.engine.schedules import warmup_poly_schedule
+
+    steps_per_epoch = getattr(config, "steps_per_epoch", 1000)
+    total_iters = steps_per_epoch * config.epochs
+    schedule = warmup_poly_schedule(
+        config.lr, config.lr_power, total_iters,
+        steps_per_epoch * config.warm_up_epoch)
+
+    transforms: Dict[str, optax.GradientTransformation] = {
+        "seg_decay": sgd_group(schedule, 10.0, config.momentum,
+                               config.weight_decay),
+        "seg_nodecay": sgd_group(schedule, 10.0, config.momentum, 0.0),
+        "bkb_decay": sgd_group(schedule, 1.0, config.momentum,
+                               config.weight_decay),
+        "bkb_nodecay": sgd_group(schedule, 1.0, config.momentum, 0.0),
+        "fusion": sgd_group(schedule, 1.0, config.momentum,
+                            config.weight_decay),
+        # Audio: Adam at constant args.lr (main_avss_resize.py:133);
+        # the scheduler never touches it (trainer lr_step:89).
+        "audio": optax.adam(config.lr),
+    }
+    return optax.multi_transform(transforms, label_params), schedule
+
+
+def current_lrs(schedule: Callable, config, count) -> Dict[str, jnp.ndarray]:
+    """The lr_step display values (trainer_cavp_avss_image.py:86-91)."""
+    lr = schedule(count)
+    return {
+        "lr/lr_seg": lr * 10.0,
+        "lr/lr_bkb": lr,
+        "lr/lr_attn": lr,
+        "lr/lr_audio": jnp.asarray(config.lr),
+    }

@@ -1,0 +1,168 @@
+"""CoroCL: cross-modal region contrastive loss, static-shape for jit.
+
+Rebuilds ``loss/contrastive_aud.py:7-142`` (the paper's core objective).
+The reference's sampling is dynamically shaped (per-class randperm over
+boolean-filtered pixels); under XLA everything must be static, so the
+sampling is reformulated with fixed budgets + validity masks, equivalent
+in distribution:
+
+- GT maps are nearest-downsampled to feature resolution and embeddings
+  L2-normalized (contrastive_aud.py:18-26).
+- **Foreground anchors** (``foreground_random_selection:76-89``): the
+  reference draws ``max_views`` pixels uniformly without replacement for
+  every foreground class with >= max_views pixels. Here: per-class pixel
+  counts select eligible classes in ascending class order into
+  ``class_slots`` static slots (classes beyond the budget are dropped and
+  reported in the aux dict); each slot samples via Gumbel-free
+  uniform-score top-k, which is exactly uniform sampling without
+  replacement.
+- **Background / shuffle anchors** (``extraction_samples:110-142``):
+  ``sample_num = min(max_views, n_shuffle_fg, n_bg)`` pixels from the
+  background of the matched GT and from the shuffled embeddings at the
+  matched-foreground positions; emulated with top-k plus a first-
+  ``sample_num`` validity mask.
+- **InfoNCE** (``info_nce:41-74``): anchors vs themselves, positives =
+  equal label, diagonal removed, temperature 0.1, per-anchor mean of
+  log-prob over positives; the final mean divides by the number of
+  anchors the dynamic reference would have drawn, so masked slots
+  contribute exactly zero.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cavp_tpu.ops.interp import interpolate_nearest
+
+_NEG_INF = -1e9
+
+
+def _sample_group(key, scores_mask, num_samples: int):
+    """Uniform sample-without-replacement of ``num_samples`` indices from
+    the True positions of ``scores_mask`` [P]. Returns (idx [num_samples],
+    valid [num_samples]) where valid marks draws that hit a True position
+    (when fewer than num_samples are available the tail is invalid)."""
+    p = scores_mask.shape[0]
+    scores = jax.random.uniform(key, (p,))
+    scores = jnp.where(scores_mask, scores, _NEG_INF)
+    top, idx = jax.lax.top_k(scores, num_samples)
+    return idx, top > _NEG_INF / 2
+
+
+def corocl_loss(
+    key: jax.Array,
+    embeds_match: jnp.ndarray,   # [B, h, w, C]
+    gt_match: jnp.ndarray,       # [B, H, W] int labels (255 = ignore)
+    embeds_shuffle: jnp.ndarray,  # [B, h, w, C]
+    gt_shuffle: jnp.ndarray,      # [B, H, W]
+    *,
+    num_classes: int,
+    temperature: float = 0.1,
+    max_views: int = 512,
+    class_slots: int = 8,
+    ignore_index: int = 255,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    B, h, w, C = embeds_match.shape
+    P = B * h * w
+
+    gt_m = interpolate_nearest(gt_match, (h, w)).reshape(P)
+    gt_s = interpolate_nearest(gt_shuffle, (h, w)).reshape(P)
+
+    def _norm(e):
+        e = e.reshape(P, C).astype(jnp.float32)
+        return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+
+    em = _norm(embeds_match)
+    es = _norm(embeds_shuffle)
+
+    fg_mask = (gt_m > 0) & (gt_m != ignore_index)
+    bg_mask = gt_m == 0
+
+    # --- eligible classes -> static slots (ascending class id) ---
+    counts = jnp.zeros((num_classes,), jnp.int32).at[
+        jnp.where(fg_mask, gt_m, 0)].add(fg_mask.astype(jnp.int32))
+    eligible = counts >= max_views
+    eligible = eligible.at[0].set(False)
+    big = num_classes + 1
+    slot_class = jnp.sort(jnp.where(eligible, jnp.arange(num_classes), big))
+    slot_class = slot_class[:class_slots]
+    slot_valid = slot_class < big
+    n_eligible = jnp.sum(eligible)
+
+    keys = jax.random.split(key, class_slots + 2)
+
+    def sample_class(slot_key, cls):
+        idx, _ = _sample_group(slot_key, fg_mask & (gt_m == cls), max_views)
+        return idx
+
+    cls_idx = jax.vmap(sample_class)(keys[:class_slots], slot_class)  # [S, V]
+    cls_anchor = em[cls_idx.reshape(-1)]                 # [S*V, C]
+    cls_labels = jnp.repeat(slot_class, max_views)
+    cls_valid = jnp.repeat(slot_valid, max_views)
+
+    # --- background + shuffle groups ---
+    n_bg = jnp.sum(bg_mask)
+    n_shuf = jnp.sum(fg_mask)  # shuffle pixels indexed by matched-fg positions
+    sample_num = jnp.minimum(jnp.minimum(max_views, n_shuf), n_bg)
+    within = jnp.arange(max_views)
+
+    bg_idx, bg_hit = _sample_group(keys[-2], bg_mask, max_views)
+    bg_anchor = em[bg_idx]
+    bg_labels = gt_m[bg_idx]
+    bg_valid = bg_hit & (within < sample_num)
+
+    sh_idx, sh_hit = _sample_group(keys[-1], fg_mask, max_views)
+    sh_anchor = es[sh_idx]
+    sh_labels = gt_s[sh_idx]
+    sh_valid = sh_hit & (within < sample_num)
+
+    anchors = jnp.concatenate([cls_anchor, bg_anchor, sh_anchor], axis=0)
+    labels = jnp.concatenate([cls_labels, bg_labels, sh_labels], axis=0)
+    valid = jnp.concatenate([cls_valid, bg_valid, sh_valid], axis=0)
+
+    # Reference returns 0 when no foreground class is eligible
+    # (contrastive_aud.py:104-108,34-35).
+    any_fg = n_eligible > 0
+    valid = valid & any_fg
+
+    loss = _masked_info_nce(anchors, labels, valid, temperature)
+    aux = {
+        "corocl/eligible_classes": n_eligible,
+        "corocl/dropped_classes": jnp.maximum(n_eligible - class_slots, 0),
+        "corocl/anchor_count": jnp.sum(valid),
+    }
+    return loss, aux
+
+
+def _masked_info_nce(anchors, labels, valid, temperature):
+    """info_nce (contrastive_aud.py:41-74) with validity masking."""
+    n = anchors.shape[0]
+    vf = valid.astype(jnp.float32)
+    pair_valid = vf[:, None] * vf[None, :]
+
+    same = (labels[:, None] == labels[None, :]).astype(jnp.float32) * pair_valid
+    dots = (anchors @ anchors.T) / temperature
+    dots = jnp.where(pair_valid > 0, dots, _NEG_INF)
+
+    logits_max = jnp.max(dots, axis=1, keepdims=True)
+    logits_max = jnp.maximum(logits_max, _NEG_INF / 2)  # all-invalid rows
+    logits = dots - jax.lax.stop_gradient(logits_max)
+
+    eye = jnp.eye(n)
+    pos_mask = same * (1.0 - eye)
+    neg_mask = (1.0 - same) * pair_valid
+
+    exp_logits = jnp.exp(jnp.where(pair_valid > 0, logits, _NEG_INF))
+    neg_logits = jnp.sum(exp_logits * neg_mask, axis=1, keepdims=True)
+
+    log_prob = logits - jnp.log(exp_logits + neg_logits + 1e-30)
+    eps = 1e-12
+    mean_log_prob_pos = jnp.sum(pos_mask * log_prob, axis=1) / (
+        jnp.sum(pos_mask, axis=1) + eps)
+    mean_log_prob_pos = jnp.where(valid, mean_log_prob_pos, 0.0)
+
+    denom = jnp.maximum(jnp.sum(vf), 1.0)
+    return -jnp.sum(mean_log_prob_pos) / denom

@@ -1,0 +1,21 @@
+from cavp_tpu.metrics.fg_detect import fg_init, fg_result, fg_update
+from cavp_tpu.metrics.jf import color_miou_fscore, eval_fmeasure, mask_iou
+from cavp_tpu.metrics.miou import (
+    MIoUState,
+    miou_init,
+    miou_result,
+    miou_update,
+)
+
+__all__ = [
+    "MIoUState",
+    "miou_init",
+    "miou_update",
+    "miou_result",
+    "fg_init",
+    "fg_update",
+    "fg_result",
+    "mask_iou",
+    "eval_fmeasure",
+    "color_miou_fscore",
+]

@@ -1,0 +1,150 @@
+"""Cross-modal sigmoid attention fusion, flax.
+
+Rebuilds ``models/attn.py:17-305``. Semantics preserved exactly:
+
+- attention weights are **sigmoid**, not softmax (attn.py:93) — each
+  visual token independently gates the audio value (and vice versa);
+- separate q/k/v projections without bias (attn.py:56-58);
+- ``Block.forward_ca`` (attn.py:146-162) applies one shared ``norm1`` to
+  both modalities, then residuals accumulate on the *normed* features
+  (the reference's ``q = q + output`` uses the post-norm q), visual
+  attends audio first, then audio attends the updated visual;
+- positional embeddings are allocated but unused (attn.py:235-238);
+  they are kept as params for checkpoint-shape parity;
+- all dropout/droppath rates are 0 in CAVP, so the forward is
+  deterministic.
+
+With a single audio token the visual->audio attention is a rank-1 gate:
+``out[b,n] = sigmoid(<q_n, k>/sqrt(d)) * v`` — linear in tokens, which
+is why 16k-token fusion is cheap on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cavp_tpu.models.layers import Dense, LayerNorm, Mlp
+
+
+class PatchEmbed(nn.Module):
+    """attn.py:17-39 — NHWC feature map to tokens via a linear proj."""
+
+    embed_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, H, W, C] -> [B, H*W, embed_dim]
+        B, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        return Dense(self.embed_dim, dtype=self.dtype, name="proj")(x)
+
+
+class Attention(nn.Module):
+    """attn.py:41-106 — sigmoid attention with separate q/k/v."""
+
+    dim: int
+    num_heads: int = 4
+    qkv_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_q, x_k, x_v):
+        B, N, C = x_q.shape
+        Nk = x_k.shape[1]
+        h = self.num_heads
+        hd = C // h
+        scale = hd ** -0.5
+
+        q = Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x_q)
+        k = Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="k")(x_k)
+        v = Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x_v)
+
+        q = q.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Nk, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Nk, h, hd).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        attn = nn.sigmoid(attn)  # the load-bearing non-softmax (attn.py:93)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = Dense(C, dtype=self.dtype, name="proj")(out)
+        return out, attn
+
+
+class Block(nn.Module):
+    """attn.py:109-171, mode="CA"."""
+
+    dim: int
+    num_heads: int = 4
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.norm1 = LayerNorm()
+        self.norm2 = LayerNorm()
+        self.attn = Attention(dim=self.dim, num_heads=self.num_heads,
+                              qkv_bias=self.qkv_bias, dtype=self.dtype)
+        self.mlp = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
+                       out_features=self.dim, dtype=self.dtype)
+
+    def sdp(self, q, k, v):
+        out, attn = self.attn(q, k, v)
+        q = q + out
+        q = q + self.mlp(self.norm2(q))
+        return q, attn
+
+    def __call__(self, f_v, f_a):
+        f_v = self.norm1(f_v)
+        f_a = self.norm1(f_a)
+        f_v, attn_v = self.sdp(f_v, f_a, f_a)   # visual attends audio
+        f_a, _ = self.sdp(f_a, f_v, f_v)        # audio attends updated visual
+        return f_v, f_a, attn_v
+
+
+class CrossAttention(nn.Module):
+    """attn.py:173-245 (CROSS_ATTENTION), depth=1, 4 heads in CAVP."""
+
+    embed_dim: int
+    depth: int = 1
+    num_heads: int = 4
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    num_patches_v: int = 128 * 128
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.patch_embed_v = PatchEmbed(embed_dim=self.embed_dim, dtype=self.dtype)
+        self.patch_embed_a = PatchEmbed(embed_dim=self.embed_dim, dtype=self.dtype)
+        # Allocated-but-unused positional embeddings (attn.py:202-207,235-238)
+        # kept so converted torch checkpoints map 1:1.
+        self.pos_embed_v = self.param(
+            "pos_embed_v", nn.initializers.zeros,
+            (1, self.num_patches_v, self.embed_dim))
+        self.pos_embed_a = self.param(
+            "pos_embed_a", nn.initializers.zeros, (1, 1, self.embed_dim))
+        self.blocks = [
+            Block(dim=self.embed_dim, num_heads=self.num_heads,
+                  mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                  dtype=self.dtype, name=f"block{i}")
+            for i in range(self.depth)
+        ]
+        self.norm = LayerNorm()
+
+    def __call__(self, f_v, f_a):
+        """f_v: [B, H, W, C] visual feature; f_a: [B, 1, 1, C] audio feature.
+
+        Returns (visual tokens [B, HW, C], audio tokens [B, 1, C],
+        attn_v [B, heads, HW, 1]).
+        """
+        f_v = self.patch_embed_v(f_v)
+        f_a = self.patch_embed_a(f_a)
+        attn_v = None
+        for block in self.blocks:
+            f_v, f_a, attn_v = block(f_v, f_a)
+        f_v = self.norm(f_v)
+        return f_v, f_a, attn_v

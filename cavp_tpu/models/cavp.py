@@ -1,0 +1,189 @@
+"""CAVP model assembly, flax/NHWC.
+
+Rebuilds ``models/cavp_model.py:69-205``:
+
+- visual backbone (deep-stem ResNet-50/101/18 + DeepLabV3+, or
+  HRNet/OCR/PVT variants) producing the 1/4-resolution fusion feature;
+- ``visual_projector`` Mlp(latent, 256, latent) over tokens
+  (cavp_model.py:123-128, 143-148);
+- sigmoid cross-attention fusion (CROSS_ATTENTION depth=1);
+- classifier head + bilinear (align_corners=False) upsample to the
+  input resolution (cavp_model.py:138-141).
+
+Training-path notes (cavp_model.py:175-188): the visual feature is
+duplicated (matched ‖ shuffled batch) and the audio tower runs on the
+2B-clip batch. The reference's model-level SoundBank overwrite at
+``forward_audio`` is dead code — line 171 unconditionally reassigns
+``shuffle_fea_a = fea_a[shuffle_idx]`` after the overwrite — so the
+operative shuffle is a pure gather; the *waveform-level* SoundBank in the
+trainer is the live one and is rebuilt in
+:mod:`cavp_tpu.models.soundbank`. Here, the caller passes the already
+shuffled/overwritten audio batch, matching observable reference
+behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cavp_tpu.models.attn import CrossAttention
+from cavp_tpu.models.audio_nets import AudioModel
+from cavp_tpu.models.deeplabv3p import DeepLabV3Plus
+from cavp_tpu.models.layers import Mlp
+from cavp_tpu.models.resnet import ResNet
+from cavp_tpu.ops.interp import interpolate_bilinear
+
+LATENT_DIM = {"DeepLabV3Plus": 304, "HRNet": 720, "OCR": 512, "PVT": 112}
+
+
+class CAVP(nn.Module):
+    """The full audio-visual segmentation system."""
+
+    num_classes: int = 71
+    seg_model: str = "DeepLabV3Plus"
+    visual_backbone: int = 50
+    last_three_dilation_stride: Sequence[bool] = (False, False, False)
+    audio_backbone: str = "vgg"
+    in_plane: int = 1
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @property
+    def latent_dim(self) -> int:
+        # cavp_model.py:86,107 sets 304 for DeepLabV3Plus / 112 for PVT.
+        # The reference pins 304 even for the resnet18 backbone, whose
+        # DeepLab feature is 112-ch (aspp_out 64 + 48) — that combination
+        # crashes upstream; here latent tracks the real feature width so
+        # every backbone choice is runnable.
+        if self.seg_model == "DeepLabV3Plus" and self.visual_backbone not in (50, 101):
+            return 112
+        return LATENT_DIM[self.seg_model]
+
+    def setup(self):
+        if self.seg_model == "DeepLabV3Plus":
+            self.backbone = ResNet(
+                depth=self.visual_backbone,
+                replace_stride_with_dilation=tuple(self.last_three_dilation_stride),
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+            )
+            self.segment = DeepLabV3Plus(
+                num_classes=self.num_classes,
+                aspp_out_plane=256 if self.visual_backbone in (50, 101) else 64,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+            )
+        elif self.seg_model == "HRNet":
+            from cavp_tpu.models.hrnet import HRNetW48Backbone, HRNetW48Head
+            self.backbone = HRNetW48Backbone(axis_name=self.axis_name,
+                                             dtype=self.dtype)
+            self.segment = HRNetW48Head(num_classes=self.num_classes,
+                                        axis_name=self.axis_name, dtype=self.dtype)
+        elif self.seg_model == "OCR":
+            from cavp_tpu.models.hrnet import HRNetW48Backbone
+            from cavp_tpu.models.ocr import OCRHead
+            self.backbone = HRNetW48Backbone(axis_name=self.axis_name,
+                                             dtype=self.dtype)
+            self.segment = OCRHead(num_classes=self.num_classes,
+                                   axis_name=self.axis_name, dtype=self.dtype)
+        elif self.seg_model == "PVT":
+            from cavp_tpu.models.pvt import PVTv2B5
+            self.backbone = PVTv2B5(dtype=self.dtype)
+            self.segment = DeepLabV3Plus(num_classes=self.num_classes,
+                                         aspp_out_plane=64,
+                                         axis_name=self.axis_name,
+                                         dtype=self.dtype)
+        else:
+            raise ValueError(f"UNKNOWN SEG MODEL {self.seg_model}")
+
+        self.cross_att = CrossAttention(embed_dim=self.latent_dim,
+                                        depth=1, num_heads=4, dtype=self.dtype)
+        self.visual_projector = Mlp(hidden_features=256,
+                                    out_features=self.latent_dim,
+                                    dtype=self.dtype)
+        self.audio_net = AudioModel(backbone=self.audio_backbone,
+                                    out_plane=self.latent_dim,
+                                    in_plane=self.in_plane,
+                                    axis_name=self.axis_name,
+                                    dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    def forward_visual_feature(self, image, train: bool):
+        """Backbone + seg head feature: [B,H,W,3] -> [B,h,w,latent]."""
+        feats = self.backbone(image, train)
+        return self.segment.forward_feature(feats, train)
+
+    def forward_fusion(self, fea_v, fea_a):
+        """cavp_model.py:143-154. fea_v [B,h,w,C]; fea_a [B,C]."""
+        B, h, w, C = fea_v.shape
+        tokens = fea_v.reshape(B, h * w, C)
+        tokens = self.visual_projector(tokens)
+        fea_v_proj = tokens.reshape(B, h, w, C)
+        fused, f_a, attn_v = self.cross_att(fea_v_proj,
+                                            fea_a.reshape(B, 1, 1, C))
+        fused = fused.reshape(B, h, w, C)
+        return fused, {"audio": fea_a, "visual": fea_v_proj, "attn_v": attn_v}
+
+    def forward_cls(self, fused, out_hw: Tuple[int, int], train: bool):
+        """cavp_model.py:138-141: head + align_corners=False upsample."""
+        logits = self.segment.upsample(fused, train)
+        return interpolate_bilinear(logits, out_hw, align_corners=False)
+
+    def forward_audio_feature(self, audio, train: bool):
+        return self.audio_net(audio, train)
+
+    # ------------------------------------------------------------------
+    def forward_inference(self, image, audio):
+        """Eval path (cavp_model.py:190-197). image [B,H,W,3] NHWC,
+        audio [B,T,64,Cin] NHWC. Returns (logits, fused, pack)."""
+        fea_v = self.forward_visual_feature(image, train=False)
+        fea_a = self.audio_net(audio, train=False)
+        fused, pack = self.forward_fusion(fea_v, fea_a)
+        logits = self.forward_cls(fused, image.shape[1:3], train=False)
+        return logits, fused, pack
+
+    def forward_train(self, image, audio_2b):
+        """Train path (cavp_model.py:175-188): duplicate the visual
+        feature for the matched‖shuffled audio batch. ``audio_2b`` is the
+        concatenated [2B,...] spectrogram batch built by the trainer."""
+        fea_v = self.forward_visual_feature(image, train=True)
+        fea_v2 = jnp.concatenate([fea_v, fea_v], axis=0)
+        fea_a = self.audio_net(audio_2b, train=True)
+        fused, pack = self.forward_fusion(fea_v2, fea_a)
+        logits = self.forward_cls(fused, image.shape[1:3], train=True)
+        return logits, fused, pack
+
+    def __call__(self, image, audio, eval_mode: bool = True):
+        if eval_mode:
+            return self.forward_inference(image, audio)
+        return self.forward_train(image, audio)
+
+
+class VisualModel(nn.Module):
+    """Baseline without audio/cross-attention
+    (``models/visual/visual_network.py:17-61``, ``--use_baseline``)."""
+
+    num_classes: int
+    visual_backbone: int = 50
+    last_three_dilation_stride: Sequence[bool] = (False, False, False)
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(
+            depth=self.visual_backbone,
+            replace_stride_with_dilation=tuple(self.last_three_dilation_stride),
+            axis_name=self.axis_name, dtype=self.dtype)
+        self.segment = DeepLabV3Plus(
+            num_classes=self.num_classes,
+            aspp_out_plane=256 if self.visual_backbone in (50, 101) else 64,
+            axis_name=self.axis_name, dtype=self.dtype)
+
+    def __call__(self, image, train: bool = False):
+        feats = self.backbone(image, train)
+        logits = self.segment(feats, train)
+        return interpolate_bilinear(logits, image.shape[1:3],
+                                    align_corners=False)

@@ -1,0 +1,27 @@
+from cavp_tpu.parallel.dist import (
+    barrier,
+    initialize_distributed,
+    is_primary,
+    process_index,
+)
+from cavp_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    create_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "create_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "replicate",
+    "initialize_distributed",
+    "is_primary",
+    "process_index",
+    "barrier",
+]

@@ -1,0 +1,62 @@
+"""Device mesh + sharding constructors.
+
+The TPU-native replacement for the reference's DDP machinery
+(``engine/engine.py:50-54`` NCCL init, ``utils/ddp_utils.py``,
+``DistributedSampler`` — SURVEY.md §2.9): a 1-D ``data`` mesh over all
+devices; batches are sharded on their leading axis, parameters are
+replicated, and every collective (gradient allreduce, SyncBN statistics,
+eval-metric merging) is emitted by XLA from the sharding annotations —
+there is no hand-written communication code to keep correct.
+
+Cross-replica BatchNorm falls out for free: under jit with a
+batch-sharded input, a BatchNorm reduction over the batch axis *is* the
+global-batch statistic (XLA inserts the psum), which is exactly
+``SyncBatchNorm.convert_sync_batchnorm`` semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(num_devices: Optional[int] = None,
+                devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """1-D data-parallel mesh (reference: one process per GPU + NCCL pg)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch pytree with its leading axis sharded over data."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,108 @@
+"""Shape/semantics tests for the flax model zoo."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cavp_tpu.models import CAVP, ResNet, VisualModel
+from cavp_tpu.models.audio_nets import AudioModel
+from cavp_tpu.models.resnet import stage_specs
+
+
+class TestStageSpecs:
+    def test_avss_default_schedule(self):
+        """[F,F,F] + layer4 surgery: strides /4,/8,/16,/16 with layer4
+        3x3 dilations [2,4,8] and stride-1 downsample (encoder_decoder.py:40-55)."""
+        specs = stage_specs((3, 4, 6, 3), (False, False, False))
+        assert [s[0]["stride"] for s in specs] == [1, 2, 2, 1]
+        assert [b["dilation"] for b in specs[3]] == [2, 4, 8]
+        assert specs[3][0]["downsample"] == 1
+        assert specs[0][0]["downsample"] == 1  # channel-change downsample
+        assert all(b["dilation"] == 1 for s in specs[:3] for b in s)
+
+    def test_vpo_dilated_schedule(self):
+        """[F,T,T]: layer3/4 stride->dilation; surgery still forces
+        layer4 3x3 dilations to [2,4,8]."""
+        specs = stage_specs((3, 4, 23, 3), (False, True, True))
+        assert [s[0]["stride"] for s in specs] == [1, 2, 1, 1]
+        # layer3: block0 keeps previous dilation 1, rest get 2
+        assert [b["dilation"] for b in specs[2][:3]] == [1, 2, 2]
+        assert [b["dilation"] for b in specs[3]] == [2, 4, 8]
+
+
+class TestResNet:
+    def test_feature_strides(self):
+        model = ResNet(depth=18)  # Bottleneck [2,2,2,2] per reference
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        feats = model.apply(variables, x, train=False)
+        assert [f.shape[1] for f in feats] == [16, 8, 4, 4]
+        assert [f.shape[-1] for f in feats] == [256, 512, 1024, 2048]
+
+
+class TestCAVP:
+    @pytest.fixture(scope="class")
+    def small_cavp(self):
+        model = CAVP(num_classes=7, visual_backbone=18)
+        image = jnp.zeros((1, 64, 64, 3))
+        audio = jnp.zeros((1, 96, 64, 1))
+        variables = model.init(jax.random.PRNGKey(0), image, audio)
+        return model, variables
+
+    def test_inference_shapes(self, small_cavp):
+        model, variables = small_cavp
+        image = jnp.zeros((2, 64, 64, 3))
+        audio = jnp.zeros((2, 96, 64, 1))
+        logits, fused, pack = model.apply(variables, image, audio,
+                                          eval_mode=True)
+        assert logits.shape == (2, 64, 64, 7)
+        assert fused.shape == (2, 16, 16, 112)
+        assert pack["audio"].shape == (2, 112)
+        assert pack["visual"].shape == (2, 16, 16, 112)
+        # sigmoid attention: weights in (0, 1), not normalized
+        attn = np.asarray(pack["attn_v"])
+        assert attn.shape == (2, 4, 256, 1)
+        assert (attn > 0).all() and (attn < 1).all()
+
+    def test_train_duplicates_batch(self, small_cavp):
+        model, variables = small_cavp
+        image = jnp.zeros((2, 64, 64, 3))
+        audio2b = jnp.zeros((4, 96, 64, 1))
+        (logits, fused, pack), mutated = model.apply(
+            variables, image, audio2b, eval_mode=False,
+            mutable=["batch_stats"])
+        assert logits.shape == (4, 64, 64, 7)
+        assert fused.shape == (4, 16, 16, 112)
+        assert "batch_stats" in mutated
+
+    def test_batchnorm_running_stats_update(self, small_cavp):
+        model, variables = small_cavp
+        image = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+        audio2b = jax.random.normal(jax.random.PRNGKey(2), (4, 96, 64, 1))
+        _, mutated = model.apply(variables, image, audio2b, eval_mode=False,
+                                 mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        changed = any(
+            not np.allclose(np.asarray(b), np.asarray(a))
+            for b, a in zip(before, after))
+        assert changed
+
+
+class TestAudioResNet:
+    def test_stereo_tower(self):
+        model = AudioModel(backbone="18", out_plane=304, in_plane=2)
+        x = jnp.zeros((2, 300, 64, 2))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(variables, x)
+        assert out.shape == (2, 304)
+
+
+class TestVisualBaseline:
+    def test_logits_shape(self):
+        model = VisualModel(num_classes=3, visual_backbone=18)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(variables, x)
+        assert out.shape == (1, 64, 64, 3)

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""AVSBench-SS eval throughput benchmark (frames/sec/chip, end-to-end).
+
+The north-star metric (BASELINE.json): full CAVP eval — on-device mel
+frontend + ResNet-50/DeepLabV3+ + sigmoid cross-attention + per-frame
+metric accumulation — at the avss-224 configuration.
+
+The reference publishes no throughput numbers (BASELINE.md: published
+perf = {}), and its CUDA eval loop cannot run here; ``vs_baseline`` is
+therefore measured against a faithful *reference-style* loop on the same
+chip: batch-1, frame-at-a-time, with per-frame host syncs for metrics —
+exactly the structure of ``trainer_cavp_avss_image.validation:409-471``.
+
+Prints ONE JSON line:
+{"metric": "avsbench_ss_eval_frames_per_sec_per_chip", "value": N,
+ "unit": "frames/sec/chip", "vs_baseline": ratio}
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from cavp_tpu.config import get_config
+    from cavp_tpu.data.synthetic import synthetic_eval_batch
+    from cavp_tpu.engine.loops import eval_metrics_init, make_eval_step
+    from cavp_tpu.engine.runner import build_model
+
+    config = get_config("avss").replace(
+        image_width=224, image_height=224, compute_dtype="bfloat16")
+    model = build_model(config)
+    rng = jax.random.PRNGKey(0)
+    image = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    audio = jnp.zeros((1, 96, 64, 1), jnp.float32)
+    variables = model.init(rng, image, audio, eval_mode=True)
+
+    eval_step = jax.jit(make_eval_step(model, config))
+
+    # ---- batched (ours): videos x frames flattened, metrics on device
+    BATCH = 40  # 4 videos x 10 frames
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_eval_batch(config, BATCH).items()}
+    metrics = eval_metrics_init(config.num_classes)
+
+    metrics = eval_step(variables, metrics, batch)   # compile
+    jax.block_until_ready(metrics.fg_all)
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        metrics = eval_step(variables, metrics, batch)
+    jax.block_until_ready(metrics.fg_all)
+    dt = time.perf_counter() - t0
+    ours = BATCH * n_iters / dt
+
+    # ---- reference-style loop: batch-1 frames, per-frame host sync
+    one = {k: v[:1] for k, v in batch.items()}
+    m1 = eval_metrics_init(config.num_classes)
+    m1 = eval_step(variables, m1, one)               # compile batch-1
+    jax.block_until_ready(m1.fg_all)
+    n_ref = 20
+    t0 = time.perf_counter()
+    for _ in range(n_ref):
+        m1 = eval_step(variables, m1, one)
+        # the reference's per-frame `.cpu()` metric sync
+        _ = np.asarray(m1.miou_all.inter)
+        _ = np.asarray(m1.fg_all)
+    dt_ref = time.perf_counter() - t0
+    ref = n_ref / dt_ref
+
+    print(json.dumps({
+        "metric": "avsbench_ss_eval_frames_per_sec_per_chip",
+        "value": round(ours, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(ours / ref, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

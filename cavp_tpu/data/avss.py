@@ -1,0 +1,141 @@
+"""AVSBench-Semantics dataset (71-class, 10-frame videos).
+
+Rebuilds ``dataset/avss/avss_datasets.py`` + ``visual/visual_dataset.py``
++ ``audio/audio_dataset.py``: metadata.csv rows (uid, label=v1s/v1m/v2,
+split), per-video ``frames/%d.jpg`` + ``labels_semantic/%d.png`` padded
+to 10, per-subset availability flags, one-hot class labels from mask
+uniques, binary collapse for non-"all" splits, and 10 s audio split into
+1 s windows. Items are numpy dicts (NHWC images) for the pipeline layer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from cavp_tpu.data.audio_io import load_audio
+from cavp_tpu.data.transforms import VisualAugmentation
+
+
+def get_v2_palette(num_cls: int = 71) -> List[int]:
+    """The AVSBench-v2 color palette (visual_dataset.get_v2_pallete:14-39)."""
+    palette = [0] * (num_cls * 3)
+    for j in range(num_cls):
+        lab = j
+        i = 0
+        while lab > 0:
+            palette[j * 3 + 0] |= ((lab >> 0) & 1) << (7 - i)
+            palette[j * 3 + 1] |= ((lab >> 1) & 1) << (7 - i)
+            palette[j * 3 + 2] |= ((lab >> 2) & 1) << (7 - i)
+            i += 1
+            lab >>= 3
+    return palette
+
+
+def availability_flags(subset: str, mode: str):
+    """visual_dataset.__getflag:82-95."""
+    if subset == "v1s":
+        frame = np.array([1, 1, 1, 1, 1, 0, 0, 0, 0, 0], np.float32)
+        if mode == "train":
+            mask = np.array([1, 0, 0, 0, 0, 0, 0, 0, 0, 0], np.float32)
+        else:
+            mask = frame.copy()
+    elif subset == "v1m":
+        frame = np.array([1, 1, 1, 1, 1, 0, 0, 0, 0, 0], np.float32)
+        mask = frame.copy()
+    else:  # v2
+        frame = np.ones(10, np.float32)
+        mask = np.ones(10, np.float32)
+    return frame, mask
+
+
+class AVSSDataset:
+    """Joined visual+audio dataset over metadata.csv."""
+
+    MASK_NUM = 10
+    AUDIO_SECONDS = 10.0
+
+    def __init__(self, config, mode: str, dir_base: str = None,
+                 meta_csv: str = None):
+        self.config = config
+        self.mode = mode
+        base = dir_base or os.path.join(config.root_dataset_dir,
+                                        "avsbench_semantic")
+        self.dir_base = base
+        csv_fn = meta_csv or os.path.join(base, "metadata.csv")
+        df = pd.read_csv(csv_fn, sep=",")
+        df = df[df["split"] == mode]
+        if config.avsbench_split != "all":
+            df = df[df["label"] == config.avsbench_split]
+        self.df = df.reset_index(drop=True)
+        self.num_classes = config.num_classes
+        self.palette = get_v2_palette(71)
+        self.transform = VisualAugmentation(
+            image_mean=config.image_mean, image_std=config.image_std,
+            image_width=config.image_width, image_height=config.image_height,
+            mode=mode, setup=config.setup, resize_flag=config.resize_flag)
+
+    def __len__(self):
+        return len(self.df)
+
+    def _video_dir(self, row, kind: str) -> str:
+        return os.path.join(self.dir_base, row["label"], row["uid"], kind)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        row = self.df.iloc[idx]
+        subset = row["label"]
+        frame_avail, mask_avail = availability_flags(subset, self.mode)
+
+        fn_img = self._video_dir(row, "frames")
+        fn_label = self._video_dir(row, "labels_semantic")
+        img_files = sorted(f for f in os.listdir(fn_img) if f.endswith(".jpg"))
+        mask_files = sorted(f for f in os.listdir(fn_label) if f.endswith(".png"))
+
+        images, labels = [], []
+        img = lab = None
+        for i in range(len(img_files)):
+            img = Image.open(os.path.join(fn_img, f"{i}.jpg")).convert("RGB")
+            images.append(img)
+        for _ in range(self.MASK_NUM - len(images)):
+            images.append(Image.fromarray(
+                np.zeros_like(np.asarray(images[-1]))))
+        for i in range(len(mask_files)):
+            lab = Image.open(os.path.join(fn_label, f"{i}.png"))
+            labels.append(lab)
+        for _ in range(self.MASK_NUM - len(labels)):
+            labels.append(Image.fromarray(np.zeros_like(np.asarray(labels[-1]))))
+
+        pack = [self.transform(im, lb) for im, lb in zip(images, labels)]
+        image = np.stack([p[0] for p in pack])           # [10, H, W, 3]
+        label = np.stack([p[1] for p in pack])           # [10, H, W]
+
+        # one-hot class labels from per-frame mask uniques
+        class_label = np.zeros((self.MASK_NUM, self.num_classes), np.int32)
+        for i in range(self.MASK_NUM):
+            u = np.unique(label[i][label[i] != 255])
+            u = u[u < self.num_classes]
+            class_label[i, u] = 1
+
+        # binary collapse (visual_dataset.py:160-165)
+        if self.config.resize_flag:
+            if self.config.avsbench_split != "all" or \
+                    self.config.setup == "avss_binary":
+                label = np.where((label != 255) & (label != 0), 1, label)
+
+        wav = os.path.join(self.dir_base, subset, row["uid"], "audio.wav")
+        waveform = load_audio(wav, self.AUDIO_SECONDS)  # [1, 160000]
+        waveform = waveform.reshape(self.MASK_NUM, -1)  # 10 x 1s windows
+
+        return {
+            "image": image.astype(np.float32),
+            "waveform": waveform.astype(np.float32),
+            "pix_label": label.astype(np.int32),
+            "img_label": class_label,
+            "name": row["uid"],
+            "frame_available": frame_avail,
+            "mask_available": mask_avail,
+        }

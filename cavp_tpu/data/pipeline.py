@@ -1,0 +1,190 @@
+"""Host input pipeline: prefetching loader + batch assembly.
+
+The grain/tf.data-equivalent layer (BASELINE.json: "data fetch, resize,
+and augmentation move to a host pipeline overlapped with device steps")
+replacing ``torch.utils.data.DataLoader(num_workers=16, pin_memory)``:
+a thread-pool prefetcher decodes/augments items ahead of the device
+step, and collation produces the dense numpy batches the jitted steps
+consume.
+
+Batch assembly also absorbs the host-side randomness of the reference's
+train loop: the per-sample random *available-frame* selection
+(``trainer_cavp_avss_image.py:157-167``) lives here, and eval batches
+are padded [videos x 10 frames] stacks with validity masks replacing the
+reference's batch-1 per-frame python loop.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def shard_indices(n: int, process_index: int, process_count: int,
+                  shuffle: bool, seed: int, drop_last: bool) -> List[int]:
+    """DistributedSampler semantics (main_avss_resize.py:163-176):
+    per-epoch shuffle + contiguous shard per process, padded to even."""
+    idx = list(range(n))
+    if shuffle:
+        random.Random(seed).shuffle(idx)
+    if process_count > 1:
+        per = (n + process_count - 1) // process_count
+        idx = (idx * 2)[process_index * per:(process_index + 1) * per]
+    return idx
+
+
+class DataLoader:
+    """Thread-pool prefetching loader over an indexable dataset."""
+
+    def __init__(self, dataset, batch_size: int, collate_fn: Callable,
+                 shuffle: bool = False, drop_last: bool = False,
+                 num_workers: int = 8, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1,
+                 prefetch_batches: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.seed = seed
+        self.epoch = 0
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch_batches = prefetch_batches
+
+    def set_epoch(self, epoch: int):
+        """sampler.set_epoch parity (main_avss_resize.py:214)."""
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.process_count > 1:
+            n = (n + self.process_count - 1) // self.process_count
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = shard_indices(len(self.dataset), self.process_index,
+                                self.process_count, self.shuffle,
+                                self.seed + self.epoch, self.drop_last)
+        batches: List[List[int]] = []
+        for i in range(0, len(indices), self.batch_size):
+            chunk = indices[i:i + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                continue
+            batches.append(chunk)
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for chunk in batches:
+                    if stop.is_set():
+                        return
+                    items = list(pool.map(self.dataset.__getitem__, chunk))
+                    out_q.put(self.collate_fn(items))
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+# ---------------------------------------------------------------------------
+# Collation
+# ---------------------------------------------------------------------------
+
+
+def collate_stack(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in items[0]:
+        v0 = items[0][k]
+        if isinstance(v0, str):
+            out[k] = [it[k] for it in items]
+        else:
+            out[k] = np.stack([it[k] for it in items])
+    return out
+
+
+def collate_train_videos(items, rng: Optional[random.Random] = None
+                         ) -> Dict[str, np.ndarray]:
+    """AVSS train collation: pick one random available frame per video
+    (trainer_cavp_avss_image.py:157-167), emit single-frame batch."""
+    rng = rng or random
+    images, waves, pix, img_lab, names = [], [], [], [], []
+    for it in items:
+        avail = (it["frame_available"] + it["mask_available"]) == 2
+        choices = np.nonzero(avail)[0]
+        sel = int(rng.choice(list(choices)))
+        images.append(it["image"][sel])
+        waves.append(it["waveform"][sel][None])  # [1, L]
+        pix.append(it["pix_label"][sel])
+        img_lab.append(it["img_label"][sel])
+        names.append(it["name"])
+    return {
+        "image": np.stack(images),
+        "waveform": np.stack(waves),
+        "pix_label": np.stack(pix),
+        "img_label": np.stack(img_lab),
+        "name": names,
+    }
+
+
+def collate_train_frames(items) -> Dict[str, np.ndarray]:
+    """Single-frame datasets (VPO, MS3-train): squeeze the frame dim."""
+    out = collate_stack(items)
+    for k in ("image", "pix_label", "img_label"):
+        if out[k].ndim > 0 and out[k].shape[1] == 1 and k != "img_label":
+            out[k] = out[k][:, 0]
+    if out["image"].ndim == 5:
+        out["image"] = out["image"][:, 0]
+    if out["pix_label"].ndim == 4:
+        out["pix_label"] = out["pix_label"][:, 0]
+    if out["img_label"].ndim == 3:
+        out["img_label"] = out["img_label"][:, 0]
+    if out["waveform"].ndim == 4:
+        out["waveform"] = out["waveform"][:, 0]
+    return out
+
+
+def collate_eval_videos(items) -> Dict[str, np.ndarray]:
+    """Eval collation: [B, 10, ...] padded videos + validity from
+    mask_available (replaces the reference's per-frame batch-1 loop)."""
+    out = collate_stack(items)
+    out["valid"] = out.pop("mask_available")
+    out["waveform"] = out["waveform"][..., None, :]  # [B, T, 1, L]
+    return out
+
+
+def collate_eval_frames(items) -> Dict[str, np.ndarray]:
+    """Single-frame eval collation (VPO validation,
+    trainer_cavp_vpo_mono.py:260-320): every frame valid."""
+    out = collate_train_frames(items)
+    out["valid"] = np.ones((out["image"].shape[0],), np.float32)
+    return out
+
+
+def flatten_video_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """[B, T, ...] -> [B*T, ...] for the flat eval step."""
+    flat = {}
+    B, T = batch["image"].shape[:2]
+    for k in ("image", "waveform", "pix_label"):
+        v = batch[k]
+        flat[k] = v.reshape((B * T,) + v.shape[2:])
+    flat["valid"] = batch["valid"].reshape(B * T)
+    return flat

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from cavp_tpu.audio.mel import preprocess_audio
+from cavp_tpu.audio.mel import preprocess_audio as _preprocess_nchw
 from cavp_tpu.losses import corocl_loss, cross_entropy
 from cavp_tpu.metrics import (
     eval_fmeasure,
@@ -44,6 +44,12 @@ from cavp_tpu.models.soundbank import (
     overwrite_miss_match,
     update_bank,
 )
+
+
+def preprocess_audio(wave, **kw):
+    """Trainer mel ([N,C,L] -> [N,T,64,C] NHWC for the flax towers)."""
+    mel = _preprocess_nchw(wave, **kw)  # [N, C, T, F]
+    return jnp.transpose(mel, (0, 2, 3, 1))
 
 # ---------------------------------------------------------------------------
 # Train

@@ -66,11 +66,13 @@ def sgd_group(schedule: Callable, lr_multiplier: float, momentum: float,
     return optax.chain(*chain)
 
 
-def make_optimizer(config) -> optax.GradientTransformation:
-    """The full two-optimizer structure over one param tree."""
+def make_optimizer(config, steps_per_epoch: int = None):
+    """The full two-optimizer structure over one param tree.
+    Returns (tx, schedule)."""
     from cavp_tpu.engine.schedules import warmup_poly_schedule
 
-    steps_per_epoch = getattr(config, "steps_per_epoch", 1000)
+    if steps_per_epoch is None:
+        steps_per_epoch = getattr(config, "steps_per_epoch", 1000)
     total_iters = steps_per_epoch * config.epochs
     schedule = warmup_poly_schedule(
         config.lr, config.lr_power, total_iters,

@@ -1,0 +1,209 @@
+"""Unified train/eval runner.
+
+The one-engine replacement for the reference's six copy-pasted ~250-line
+``main()``s (SURVEY.md §2.1 "shared main() skeleton"): build model +
+optimizer + datasets from the config, create the data mesh, compile the
+step functions once, run the epoch loop with rank-0 validation every 5
+epochs (or >= 50) and best-mIoU checkpointing
+(``main_avss_resize.py:205-219``, ``trainer_cavp_avss_image.py:377-381``).
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cavp_tpu.config.setups import Config
+from cavp_tpu.data.pipeline import (
+    DataLoader,
+    collate_eval_videos,
+    collate_train_frames,
+    collate_train_videos,
+    flatten_video_batch,
+)
+from cavp_tpu.engine.checkpoint import Engine, load_model_variables
+from cavp_tpu.engine.loops import (
+    eval_metrics_init,
+    eval_metrics_result,
+    make_eval_step,
+    make_jf_test_step,
+    make_train_step,
+)
+from cavp_tpu.engine.optim import current_lrs, make_optimizer
+from cavp_tpu.engine.state import create_train_state
+from cavp_tpu.models import CAVP, VisualModel
+from cavp_tpu.parallel import (
+    create_mesh,
+    initialize_distributed,
+    is_primary,
+    replicate,
+    shard_batch,
+)
+from cavp_tpu.utils import Tensorboard, logger, suppress_non_primary
+
+
+def build_model(config: Config, baseline: bool = False):
+    """main_avss_resize.py:92-116 model construction."""
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    if baseline or config.use_baseline:
+        return VisualModel(
+            num_classes=config.num_classes,
+            visual_backbone=config.visual_backbone,
+            last_three_dilation_stride=tuple(config.last_three_dilation_stride),
+            dtype=dtype)
+    return CAVP(
+        num_classes=config.num_classes,
+        seg_model=config.seg_model,
+        visual_backbone=config.visual_backbone,
+        last_three_dilation_stride=tuple(config.last_three_dilation_stride),
+        audio_backbone=config.audio_backbone,
+        in_plane=config.in_plane,
+        dtype=dtype)
+
+
+def seed_everything(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def init_state(config: Config, model, tx, mesh):
+    rng = jax.random.PRNGKey(config.seed)
+    sample = {
+        "image": jnp.zeros((1, config.image_height, config.image_width, 3),
+                           jnp.float32),
+        "audio": jnp.zeros((1, config.mel_frames, 64, config.in_plane),
+                           jnp.float32),
+    }
+    state = create_train_state(model, tx, rng, sample, config)
+    return replicate(state, mesh)
+
+
+def count_params(params) -> float:
+    return sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)) / 1e6
+
+
+def run_training(config: Config, variant: str, make_datasets: Callable,
+                 ckpt_dir: str = "./checkpoints",
+                 max_steps_per_epoch: Optional[int] = None,
+                 eval_collate: Callable = collate_eval_videos,
+                 eval_batch_size: int = 1):
+    """The epoch loop. ``make_datasets(config) -> (train_ds, test_ds,
+    train_collate)``. Returns (state, best_miou)."""
+    initialize_distributed()
+    suppress_non_primary(is_primary())
+    seed_everything(config.seed)
+    mesh = create_mesh()
+
+    train_ds, test_ds, train_collate = make_datasets(config)
+    steps_per_epoch = max(len(train_ds) // config.batch_size, 1)
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+
+    model = build_model(config)
+    tx, schedule = make_optimizer(config, steps_per_epoch)
+    state = init_state(config, model, tx, mesh)
+    logger.info("Number of trainable parameters: %.4fM"
+                % count_params(state.params))
+
+    wandb_ = Tensorboard(config) if is_primary() else None
+    engine = Engine(config, ckpt_dir)
+
+    train_loader = DataLoader(
+        train_ds, config.batch_size, train_collate, shuffle=True,
+        drop_last=True, num_workers=config.num_workers, seed=config.seed,
+        process_index=jax.process_index(), process_count=jax.process_count())
+    test_loader = DataLoader(
+        test_ds, eval_batch_size, eval_collate,
+        num_workers=config.num_workers) if test_ds is not None else None
+
+    train_step = jax.jit(make_train_step(model, tx, config, variant=variant),
+                         donate_argnums=(0,))
+    rng = jax.random.PRNGKey(config.seed + 1)
+
+    best_iou = 0.0
+    for epoch in range(config.epochs):
+        train_loader.set_epoch(epoch)
+        t0 = time.time()
+        n = 0
+        for batch_idx, batch in enumerate(train_loader):
+            if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
+                break
+            batch.pop("name", None)
+            batch = shard_batch(batch, mesh)
+            state, metrics = train_step(state, batch, rng,
+                                        jnp.asarray(epoch))
+            engine.update_iteration(epoch, epoch * steps_per_epoch + batch_idx)
+            n += 1
+            if is_primary() and batch_idx % config.display_iter == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update({k: float(v) for k, v in current_lrs(
+                    schedule, config, int(state.step)).items()})
+                if wandb_:
+                    wandb_.upload_metrics(m, step=int(state.step))
+        dt = time.time() - t0
+        logger.info(
+            f"epoch {epoch}: {n} steps in {dt:.1f}s "
+            f"({n * config.batch_size / max(dt, 1e-9):.2f} img/s)")
+
+        if is_primary() and test_loader is not None and (
+                epoch % 5 == 0 or epoch >= 50):
+            results = run_validation(config, model, state, test_loader, mesh)
+            logger.info(
+                "|ALL| mIoU: {miou:.4f} | acc: {acc:.4f} | fdr: {fdr:.4f} | "
+                "f_1: {f_1:.4f} | f_0.3: {f_0.3:.4f}".format(**results))
+            if results["miou"] > best_iou:
+                best_iou = results["miou"]
+                if wandb_:
+                    for k, v in results.items():
+                        wandb_.set_summary(f"best_{k}", v)
+                if not config.ignore_ckpt:
+                    engine.save(state, "best_model")
+            if wandb_:
+                wandb_.upload_metrics(results, step=int(state.step))
+    if wandb_:
+        wandb_.finish()
+    return state, best_iou
+
+
+def run_validation(config: Config, model, state, test_loader, mesh=None
+                   ) -> Dict[str, float]:
+    """trainer.validation rebuilt: batched padded videos, carried device
+    metrics, one host sync at the end."""
+    mesh = mesh or create_mesh()
+    eval_step = jax.jit(make_eval_step(model, config))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    metrics = eval_metrics_init(config.num_classes)
+    for batch in test_loader:
+        batch.pop("name", None)
+        batch.pop("img_label", None)
+        batch.pop("frame_available", None)
+        if batch["image"].ndim == 5:  # padded videos -> flat frames
+            batch = flatten_video_batch(batch)
+        flat = shard_batch(batch, mesh)
+        metrics = eval_step(variables, metrics, flat)
+    return {k: float(v) for k, v in eval_metrics_result(metrics).items()}
+
+
+def run_jf_test(config: Config, model, state, test_loader) -> Dict[str, float]:
+    """test_avss_resize.py J&F eval: per-video mask_iou + F-measure
+    averaged with AverageMeter semantics (trainer_cavp_avs_obj.py:346-353)."""
+    jf_step = jax.jit(make_jf_test_step(model, config))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    mious, fscores = [], []
+    for batch in test_loader:
+        batch.pop("name", None)
+        batch.pop("img_label", None)
+        flat = flatten_video_batch(batch)
+        miou, fscore = jf_step(variables, flat)
+        mious.append(float(miou))
+        fscores.append(float(fscore))
+    return {
+        "miou": float(np.mean(mious)),
+        "F_score": float(np.mean(fscores)),
+        "J&F": float((np.mean(mious) + np.mean(fscores)) / 2),
+    }

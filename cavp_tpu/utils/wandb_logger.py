@@ -1,0 +1,92 @@
+"""Observability: wandb wrapper + console logging.
+
+Rebuilds ``utils/tensor_board.py`` (the ``Tensorboard`` wandb wrapper:
+run naming ``[SETUP][bkb][BSxx][Gn]name``, ``upload_metrics``,
+``upload_wandb_image`` with palette-colorized GT/pred, run summaries)
+and the rank-gated loguru setup (``utils/ddp_utils.supress_printer``).
+wandb is optional: disabled mode (the default) degrades to an in-memory
+metric log so headless/test runs need no network.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger("cavp_tpu")
+if not logger.handlers:
+    _h = logging.StreamHandler()
+    _h.setFormatter(logging.Formatter(
+        "%(asctime)s | %(levelname)s | %(message)s"))
+    logger.addHandler(_h)
+    logger.setLevel(logging.INFO)
+
+
+def suppress_non_primary(is_primary: bool):
+    """supress_printer parity: non-zero ranks log errors only."""
+    logger.setLevel(logging.INFO if is_primary else logging.ERROR)
+
+
+def colorize_mask(mask: np.ndarray, palette: List[int]) -> np.ndarray:
+    """utils/tensor_board.colorize_mask:241-251 — palette-index to RGB."""
+    pal = np.asarray(palette, np.uint8).reshape(-1, 3)
+    m = np.clip(mask, 0, len(pal) - 1)
+    return pal[m]
+
+
+class Tensorboard:
+    """Same public surface as the reference class; wandb optional."""
+
+    def __init__(self, config, palette: Optional[List[int]] = None):
+        self.config = config
+        self.palette = palette
+        self.history: List[Dict] = []
+        self._wandb = None
+        if config.wandb_mode not in ("disabled", "", None):
+            try:
+                import wandb
+
+                run_name = (f"[{config.setup.upper()}]"
+                            f"[{config.visual_backbone}]"
+                            f"[BS{config.batch_size}]"
+                            f"[G{config.gpus}]{config.experiment_name}")
+                self._wandb = wandb.init(
+                    project=config.proj_name, name=run_name,
+                    dir=config.wandb_dir, mode=config.wandb_mode,
+                    notes=config.run_note,
+                    tags=list(config.tags) or None,
+                    config={k: v for k, v in vars(config).items()
+                            if isinstance(v, (int, float, str, bool))})
+            except Exception as e:  # wandb absent or offline failure
+                logger.warning(f"wandb unavailable ({e}); metrics logged locally")
+                self._wandb = None
+
+    def upload_metrics(self, metrics: Dict, step: Optional[int] = None):
+        scalar = {k: float(v) for k, v in metrics.items()
+                  if np.isscalar(v) or getattr(v, "ndim", 1) == 0}
+        self.history.append(scalar)
+        if self._wandb is not None:
+            self._wandb.log(scalar, step=step)
+
+    def upload_wandb_image(self, image, gt, logits, probs, status="train",
+                           caption=None, folder=None, heatmap=None,
+                           show_y=True):
+        if self._wandb is None or self.palette is None:
+            return
+        import wandb
+
+        pred = np.asarray(logits).argmax(-1)
+        imgs = [wandb.Image(colorize_mask(np.asarray(g), self.palette))
+                for g in np.asarray(gt)]
+        preds = [wandb.Image(colorize_mask(p, self.palette)) for p in pred]
+        self._wandb.log({f"{status}/gt": imgs, f"{status}/pred": preds})
+
+    def set_summary(self, key: str, value):
+        if self._wandb is not None:
+            self._wandb.run.summary[key] = value
+
+    def finish(self):
+        if self._wandb is not None:
+            self._wandb.finish()

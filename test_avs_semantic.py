@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Evaluate a CAVP checkpoint on AVSBench-Semantics — TPU-native.
+
+Rebuilds ``test_avs_semantic.py``: load ``avss_224.pth`` (torch, via the
+strict converter) or an orbax checkpoint, run the batched validation
+once, print the |ALL| and |MS| metric lines.
+"""
+
+import jax
+
+from cavp_tpu.config import load_args_and_config
+from cavp_tpu.data import AVSSDataset, DataLoader, collate_eval_videos
+from cavp_tpu.engine import load_model_variables, make_optimizer
+from cavp_tpu.engine.runner import build_model, init_state, run_validation
+from cavp_tpu.parallel import create_mesh
+from cavp_tpu.utils import logger
+
+
+def main():
+    config = load_args_and_config()
+    mesh = create_mesh()
+    model = build_model(config)
+    tx, _ = make_optimizer(config, 1)
+    state = init_state(config, model, tx, mesh)
+
+    ckpt = getattr(config, "ckpt_path", "") or "./avss_224.pth"
+    params, batch_stats, report = load_model_variables(
+        ckpt, state.params, state.batch_stats)
+    if report["unexpected"]:
+        logger.warning(f"unconverted torch keys: {report['unexpected'][:10]}")
+    if report["missing"]:
+        logger.warning(f"unfilled flax leaves: {report['missing'][:10]}")
+    state = state.replace(params=jax.device_put(params),
+                          batch_stats=jax.device_put(batch_stats))
+
+    test_ds = AVSSDataset(config, "test")
+    loader = DataLoader(test_ds, 1, collate_eval_videos,
+                        num_workers=config.num_workers)
+    results = run_validation(config, model, state, loader, mesh)
+    logger.info(
+        "|ALL| mIoU: {miou:.4f} | acc: {acc:.4f} | fdr: {fdr:.4f} | "
+        "f_1: {f_1:.4f} | f_0.3: {f_0.3:.4f}".format(**results))
+    logger.info(
+        "|MS| mIoU: {miou_ms:.4f} | acc: {acc_ms:.4f} | fdr: {fdr_ms:.4f} | "
+        "f_1: {f_1_ms:.4f} | f_0.3: {f_0.3_ms:.4f}".format(
+            acc=results["acc_ms"], **results))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,22 @@ def availability_flags(subset: str, mode: str):
     return frame, mask
 
 
+def color_mask_to_label(mask_rgb: np.ndarray, palette) -> np.ndarray:
+    """RGB-palette mask decoding (``dataset/avss/color_dataloader.py:
+    109-120`` — the V2Dataset variant): maps each RGB pixel back to its
+    palette index."""
+    pal = np.asarray(palette, np.uint8).reshape(-1, 3)
+    h, w = mask_rgb.shape[:2]
+    flat = mask_rgb.reshape(-1, 3)
+    # exact palette match per pixel
+    out = np.zeros((h * w,), np.int32)
+    lut = {tuple(c): i for i, c in enumerate(pal)}
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    color_idx = np.array([lut.get(tuple(c), 0) for c in colors], np.int32)
+    out = color_idx[inverse]
+    return out.reshape(h, w)
+
+
 class AVSSDataset:
     """Joined visual+audio dataset over metadata.csv."""
 

@@ -91,12 +91,22 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
                  ckpt_dir: str = "./checkpoints",
                  max_steps_per_epoch: Optional[int] = None,
                  eval_collate: Callable = collate_eval_videos,
-                 eval_batch_size: int = 1):
+                 eval_batch_size: int = 1,
+                 profile_dir: Optional[str] = None):
     """The epoch loop. ``make_datasets(config) -> (train_ds, test_ds,
-    train_collate)``. Returns (state, best_miou)."""
+    train_collate)``. Returns (state, best_miou).
+
+    Observability (SURVEY.md §5.1-2, absent in the reference): per-epoch
+    step-time/throughput logging is built in; ``profile_dir`` captures a
+    ``jax.profiler`` trace of steps 10-15 of the first epoch; ``--debug``
+    turns on jax_debug_nans as the nan-guard equivalent of the
+    reference's CoroCL asserts.
+    """
     initialize_distributed()
     suppress_non_primary(is_primary())
     seed_everything(config.seed)
+    if config.debug:
+        jax.config.update("jax_debug_nans", True)
     mesh = create_mesh()
 
     train_ds, test_ds, train_collate = make_datasets(config)
@@ -133,10 +143,15 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
         for batch_idx, batch in enumerate(train_loader):
             if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
                 break
+            if profile_dir and epoch == 0 and batch_idx == 10:
+                jax.profiler.start_trace(profile_dir)
             batch.pop("name", None)
             batch = shard_batch(batch, mesh)
             state, metrics = train_step(state, batch, rng,
                                         jnp.asarray(epoch))
+            if profile_dir and epoch == 0 and batch_idx == 15:
+                jax.block_until_ready(metrics["loss/loss"])
+                jax.profiler.stop_trace()
             engine.update_iteration(epoch, epoch * steps_per_epoch + batch_idx)
             n += 1
             if is_primary() and batch_idx % config.display_iter == 0:

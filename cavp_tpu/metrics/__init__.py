@@ -1,4 +1,5 @@
 from cavp_tpu.metrics.fg_detect import fg_init, fg_result, fg_update
+from cavp_tpu.metrics.localization import Evaluator, EvaluatorFull
 from cavp_tpu.metrics.jf import color_miou_fscore, eval_fmeasure, mask_iou
 from cavp_tpu.metrics.miou import (
     MIoUState,
@@ -18,4 +19,6 @@ __all__ = [
     "mask_iou",
     "eval_fmeasure",
     "color_miou_fscore",
+    "Evaluator",
+    "EvaluatorFull",
 ]

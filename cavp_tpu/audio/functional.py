@@ -43,3 +43,26 @@ def normalize_spec(spec: jnp.ndarray, spec_min: float, spec_max: float) -> jnp.n
 
 def unnormalize_spec(spec: jnp.ndarray, spec_min: float, spec_max: float) -> jnp.ndarray:
     return unnorm_range(spec, spec_min, spec_max)
+
+
+def normalize_phase(phase: jnp.ndarray) -> jnp.ndarray:
+    import numpy as _np
+
+    return norm_range(phase, -_np.pi, _np.pi)
+
+
+def unnormalize_phase(phase: jnp.ndarray) -> jnp.ndarray:
+    import numpy as _np
+
+    return unnorm_range(phase, -_np.pi, _np.pi)
+
+
+def normalize_ims(im: jnp.ndarray) -> jnp.ndarray:
+    """sourcesep.normalize_ims:62-67 — [0,1] image to [-1,1]."""
+    return -1.0 + 2.0 * im.astype(jnp.float32)
+
+
+def mix_sounds(waves, axis: int = 0) -> jnp.ndarray:
+    """sourcesep legacy mix: sum sources (device-side variant of
+    data.audio_io.mix_sources)."""
+    return jnp.sum(jnp.stack(waves, axis=axis), axis=axis)

@@ -106,6 +106,39 @@ class Block(nn.Module):
         return f_v, f_a, attn_v
 
 
+class SelfAttention(nn.Module):
+    """attn.py:248-305 (SELF_ATTENTION) — unused by CAVP but part of the
+    module surface: sigmoid self-attention over visual tokens."""
+
+    embed_dim: int
+    depth: int = 2
+    num_heads: int = 4
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.patch_embed = PatchEmbed(embed_dim=self.embed_dim,
+                                      dtype=self.dtype)
+        self.pos_embed = self.param("pos_embed", nn.initializers.zeros,
+                                    (1, 128 * 128, self.embed_dim))
+        self.blocks = [
+            Block(dim=self.embed_dim, num_heads=self.num_heads,
+                  mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                  dtype=self.dtype, name=f"block{i}")
+            for i in range(self.depth)
+        ]
+        self.norm = LayerNorm()
+
+    def __call__(self, f_v):
+        f_v = self.patch_embed(f_v)
+        attn_v = None
+        for block in self.blocks:
+            f_v = block.norm1(f_v)
+            f_v, attn_v = block.sdp(f_v, f_v, f_v)
+        return self.norm(f_v), attn_v
+
+
 class CrossAttention(nn.Module):
     """attn.py:173-245 (CROSS_ATTENTION), depth=1, 4 heads in CAVP."""
 

@@ -13,6 +13,34 @@ import time
 from typing import Sequence
 
 
+class DeNormalize:
+    """engine/utils.DeNormalize:29-47 — invert ImageNet normalization on
+    [..., H, W, C] arrays (for visualization)."""
+
+    def __init__(self, mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+        import numpy as np
+
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, x):
+        return x * self.std + self.mean
+
+
+def adjust_learning_rate(init_lr: float, epoch: int, epochs: int,
+                         schedule: str = "cos", warmup_epochs: int = 0
+                         ) -> float:
+    """engine/utils.adjust_learning_rate — cosine / constant epoch LR."""
+    if schedule == "cos":
+        if epoch < warmup_epochs:
+            return init_lr * epoch / max(warmup_epochs, 1)
+        return init_lr * 0.5 * (1.0 + math.cos(
+            math.pi * (epoch - warmup_epochs) / (epochs - warmup_epochs)))
+    if schedule == "cte":
+        return init_lr
+    raise ValueError(schedule)
+
+
 class AverageMeter:
     """avsbench_pyutils.AverageMeter — running mean of scalars."""
 

@@ -75,6 +75,8 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["bfloat16", "float32"])
     parser.add_argument("--class_slots", default=8, type=int,
                         help="static class budget per batch for CoroCL sampling")
+    parser.add_argument("--use_pallas_mel", default=False, action="store_true",
+                        help="use the fused Pallas log-mel kernel")
     parser.add_argument("--ckpt_path", default="", type=str,
                         help="checkpoint to load (orbax dir or torch .pth)")
     return parser

@@ -199,9 +199,11 @@ def eval_metrics_result(m: EvalMetrics) -> Dict[str, jnp.ndarray]:
 
 def _multi_source_flag(pix_label: jnp.ndarray, thresh: int = 100) -> jnp.ndarray:
     """validation's MS gate (trainer_cavp_avss_image.py:449-451): more
-    than 2 label values (incl. bg/ignore) covering >100 px each."""
-    hist = jnp.zeros((256,), jnp.int32).at[
-        jnp.clip(pix_label.reshape(-1), 0, 255)].add(1)
+    than 2 label values (incl. bg/ignore) covering >100 px each.
+    Compare+reduce instead of scatter (see metrics.miou._class_hist)."""
+    flat = jnp.clip(pix_label.reshape(-1, 1), 0, 255)
+    values = jnp.arange(256, dtype=flat.dtype).reshape(1, -1)
+    hist = jnp.sum((flat == values).astype(jnp.float32), axis=0)
     return jnp.sum(hist > thresh) > 2
 
 

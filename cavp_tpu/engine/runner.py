@@ -107,7 +107,7 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     seed_everything(config.seed)
     if config.debug:
         jax.config.update("jax_debug_nans", True)
-    mesh = create_mesh()
+    mesh = _make_mesh(config)
 
     train_ds, test_ds, train_collate = make_datasets(config)
     steps_per_epoch = max(len(train_ds) // config.batch_size, 1)
@@ -169,8 +169,10 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
                 epoch % 5 == 0 or epoch >= 50):
             results = run_validation(config, model, state, test_loader, mesh)
             logger.info(
-                "|ALL| mIoU: {miou:.4f} | acc: {acc:.4f} | fdr: {fdr:.4f} | "
-                "f_1: {f_1:.4f} | f_0.3: {f_0.3:.4f}".format(**results))
+                "|ALL| mIoU: %.4f | acc: %.4f | fdr: %.4f | f_1: %.4f | "
+                "f_0.3: %.4f" % (results["miou"], results["acc"],
+                                 results["fdr"], results["f_1"],
+                                 results["f_0.3"]))
             if results["miou"] > best_iou:
                 best_iou = results["miou"]
                 if wandb_:
@@ -185,23 +187,49 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     return state, best_iou
 
 
+def _make_mesh(config: Config):
+    """--gpus selects the data-parallel width (reference: process count);
+    clamped to available devices and to a divisor of the batch size."""
+    import math
+
+    n = min(config.gpus, len(jax.devices()))
+    n = math.gcd(max(n, 1), config.batch_size)
+    return create_mesh(num_devices=max(n, 1))
+
+
 def run_validation(config: Config, model, state, test_loader, mesh=None
                    ) -> Dict[str, float]:
     """trainer.validation rebuilt: batched padded videos, carried device
     metrics, one host sync at the end."""
-    mesh = mesh or create_mesh()
+    mesh = mesh or _make_mesh(config)
     eval_step = jax.jit(make_eval_step(model, config))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     metrics = eval_metrics_init(config.num_classes)
+    n_dev = mesh.devices.size
     for batch in test_loader:
         batch.pop("name", None)
         batch.pop("img_label", None)
         batch.pop("frame_available", None)
         if batch["image"].ndim == 5:  # padded videos -> flat frames
             batch = flatten_video_batch(batch)
+        batch = _pad_to_devices(batch, n_dev)
         flat = shard_batch(batch, mesh)
         metrics = eval_step(variables, metrics, flat)
     return {k: float(v) for k, v in eval_metrics_result(metrics).items()}
+
+
+def _pad_to_devices(batch: Dict, n_dev: int) -> Dict:
+    """Zero-pad the leading (frame) axis to a multiple of the mesh size;
+    padded frames carry valid=0 so metrics are unaffected."""
+    n = batch["image"].shape[0]
+    rem = (-n) % n_dev
+    if rem == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        pad_width = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(v, pad_width)
+    return out
 
 
 def run_jf_test(config: Config, model, state, test_loader) -> Dict[str, float]:

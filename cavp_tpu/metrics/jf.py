@@ -61,8 +61,11 @@ def _pr_curves(pred: jnp.ndarray, gt: jnp.ndarray, pr_num: int = 255
     gt_flat = gt.reshape(-1).astype(jnp.float32)
     # bucket b = #thresholds <= pred  (in 0..pr_num)
     bucket = jnp.searchsorted(thlist, flat, side="right")
-    hist_all = jnp.zeros((pr_num + 1,), jnp.float32).at[bucket].add(1.0)
-    hist_tp = jnp.zeros((pr_num + 1,), jnp.float32).at[bucket].add(gt_flat)
+    # compare+reduce histograms (scatter-free; fuses on TPU)
+    bins = jnp.arange(pr_num + 1, dtype=bucket.dtype).reshape(1, -1)
+    onehot = (bucket.reshape(-1, 1) == bins).astype(jnp.float32)
+    hist_all = jnp.sum(onehot, axis=0)
+    hist_tp = jnp.sum(onehot * gt_flat.reshape(-1, 1), axis=0)
     # count_i = #{p : bucket_p > i} = sum_{b > i} hist[b]
     rev = lambda h: (jnp.cumsum(h[::-1])[::-1])[1:]
     y_temp_sum = rev(hist_all)
@@ -112,10 +115,9 @@ def color_miou_fscore(
     intersection = predict * (predict == tgt)
 
     def hist(x):
-        idx = jnp.clip(x.astype(jnp.int32) - 1, 0, nclass - 1)
-        m = ((x >= 1) & (x <= nclass)).astype(jnp.float32)
-        return jnp.zeros((nclass,), jnp.float32).at[idx.reshape(-1)].add(
-            m.reshape(-1))
+        flat = x.reshape(-1, 1)
+        classes = jnp.arange(1, nclass + 1, dtype=x.dtype).reshape(1, -1)
+        return jnp.sum((flat == classes).astype(jnp.float32), axis=0)
 
     def per_frame(p, i, t):
         area_inter = hist(i)

@@ -29,12 +29,15 @@ def miou_init(num_classes: int) -> MIoUState:
 
 
 def _class_hist(x: jnp.ndarray, num_classes: int, weights: jnp.ndarray) -> jnp.ndarray:
-    """histc(x, bins=num_classes, min=1, max=num_classes) — values land in
-    bin floor((v-1)*C/C); torch histc buckets integers 1..C to 0..C-1."""
-    idx = jnp.clip(x - 1, 0, num_classes - 1)
-    mask = ((x >= 1) & (x <= num_classes)).astype(jnp.float32) * weights
-    return jnp.zeros((num_classes,), jnp.float32).at[idx.reshape(-1)].add(
-        mask.reshape(-1))
+    """histc(x, bins=num_classes, min=1, max=num_classes) for integer
+    values 1..C. Expressed as a compare+reduce (not scatter-add): TPUs
+    stream the one-hot compare through the VPU and fuse the reduction,
+    whereas scatters serialize."""
+    flat = x.reshape(-1, 1)
+    w = weights.reshape(-1, 1)
+    classes = jnp.arange(1, num_classes + 1, dtype=x.dtype).reshape(1, -1)
+    onehot = (flat == classes).astype(jnp.float32)
+    return jnp.sum(onehot * w, axis=0)
 
 
 def miou_update(

@@ -38,12 +38,13 @@ def main():
                         num_workers=config.num_workers)
     results = run_validation(config, model, state, loader, mesh)
     logger.info(
-        "|ALL| mIoU: {miou:.4f} | acc: {acc:.4f} | fdr: {fdr:.4f} | "
-        "f_1: {f_1:.4f} | f_0.3: {f_0.3:.4f}".format(**results))
+        "|ALL| mIoU: %.4f | acc: %.4f | fdr: %.4f | f_1: %.4f | f_0.3: %.4f"
+        % (results["miou"], results["acc"], results["fdr"], results["f_1"],
+           results["f_0.3"]))
     logger.info(
-        "|MS| mIoU: {miou_ms:.4f} | acc: {acc_ms:.4f} | fdr: {fdr_ms:.4f} | "
-        "f_1: {f_1_ms:.4f} | f_0.3: {f_0.3_ms:.4f}".format(
-            acc=results["acc_ms"], **results))
+        "|MS| mIoU: %.4f | acc: %.4f | fdr: %.4f | f_1: %.4f | f_0.3: %.4f"
+        % (results["miou_ms"], results["acc_ms"], results["fdr_ms"],
+           results["f_1_ms"], results["f_0.3_ms"]))
 
 
 if __name__ == "__main__":

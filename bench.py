@@ -2,18 +2,21 @@
 """AVSBench-SS eval throughput benchmark (frames/sec/chip, end-to-end).
 
 The north-star metric (BASELINE.json): full CAVP eval — on-device mel
-frontend + ResNet-50/DeepLabV3+ + sigmoid cross-attention + per-frame
-metric accumulation — at the avss-224 configuration.
+frontend + ResNet-50/DeepLabV3+ + sigmoid cross-attention + MIoU/FG
+metric accumulation (ALL + multi-source subsets) — at the avss-224
+configuration.
 
 The reference publishes no throughput numbers (BASELINE.md: published
 perf = {}), and its CUDA eval loop cannot run here; ``vs_baseline`` is
 therefore measured against a faithful *reference-style* loop on the same
-chip: batch-1, frame-at-a-time, with per-frame host syncs for metrics —
-exactly the structure of ``trainer_cavp_avss_image.validation:409-471``.
+chip: batch-1, frame-at-a-time, with per-frame host metric syncs —
+exactly the structure of ``trainer_cavp_avss_image.validation:409-471``
+(batch_size=1 loader, per-frame ``.cpu()`` metric reads).
 
-Prints ONE JSON line:
-{"metric": "avsbench_ss_eval_frames_per_sec_per_chip", "value": N,
- "unit": "frames/sec/chip", "vs_baseline": ratio}
+Timing uses explicit host transfers as the sync point (block_until_ready
+alone under-reports on the axon transport).
+
+Prints ONE JSON line.
 """
 
 import json
@@ -23,6 +26,9 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def main():
@@ -37,23 +43,30 @@ def main():
     rng = jax.random.PRNGKey(0)
     image = jnp.zeros((1, 224, 224, 3), jnp.float32)
     audio = jnp.zeros((1, 96, 64, 1), jnp.float32)
-    variables = model.init(rng, image, audio, eval_mode=True)
+    # zero-init via eval_shape: throughput does not depend on param
+    # values, and the real init is hundreds of small compiles that
+    # dominate wall-clock over the remote-compile transport.
+    shapes = jax.eval_shape(lambda r: model.init(r, image, audio,
+                                                 eval_mode=True), rng)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     eval_step = jax.jit(make_eval_step(model, config))
 
-    # ---- batched (ours): videos x frames flattened, metrics on device
-    BATCH = 40  # 4 videos x 10 frames
+    # ---- batched (ours): 8 videos x 10 frames, metrics on device,
+    # one host sync per measurement window
+    BATCH = 80
     batch = {k: jnp.asarray(v) for k, v in
              synthetic_eval_batch(config, BATCH).items()}
     metrics = eval_metrics_init(config.num_classes)
 
     metrics = eval_step(variables, metrics, batch)   # compile
-    jax.block_until_ready(metrics.fg_all)
-    n_iters = 10
+    _ = np.asarray(metrics.miou_all.inter)
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         metrics = eval_step(variables, metrics, batch)
-    jax.block_until_ready(metrics.fg_all)
+    _ = np.asarray(metrics.miou_all.inter)           # hard sync
     dt = time.perf_counter() - t0
     ours = BATCH * n_iters / dt
 
@@ -61,7 +74,7 @@ def main():
     one = {k: v[:1] for k, v in batch.items()}
     m1 = eval_metrics_init(config.num_classes)
     m1 = eval_step(variables, m1, one)               # compile batch-1
-    jax.block_until_ready(m1.fg_all)
+    _ = np.asarray(m1.miou_all.inter)
     n_ref = 20
     t0 = time.perf_counter()
     for _ in range(n_ref):

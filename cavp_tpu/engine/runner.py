@@ -127,6 +127,11 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
         train_ds, config.batch_size, train_collate, shuffle=True,
         drop_last=True, num_workers=config.num_workers, seed=config.seed,
         process_index=jax.process_index(), process_count=jax.process_count())
+    if eval_collate is collate_eval_videos and eval_batch_size == 1 and \
+            config.resize_flag:
+        # fixed eval resolution -> batch several videos per device step
+        # (the reference is pinned to batch-1 by its per-frame loop)
+        eval_batch_size = 8
     test_loader = DataLoader(
         test_ds, eval_batch_size, eval_collate,
         num_workers=config.num_workers) if test_ds is not None else None

@@ -34,7 +34,8 @@ def main():
                           batch_stats=jax.device_put(batch_stats))
 
     test_ds = AVSSDataset(config, "test")
-    loader = DataLoader(test_ds, 1, collate_eval_videos,
+    videos_per_batch = 8 if config.resize_flag else 1
+    loader = DataLoader(test_ds, videos_per_batch, collate_eval_videos,
                         num_workers=config.num_workers)
     results = run_validation(config, model, state, loader, mesh)
     logger.info(

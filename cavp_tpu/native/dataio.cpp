@@ -1,0 +1,328 @@
+// Native host-IO core for the data pipeline.
+//
+// The TPU-native framework's answer to the reference's
+// torch-DataLoader-worker decode path (dataset/*: PIL decode + resize in
+// 16 worker processes): JPEG/PNG decode via libjpeg/libpng, PIL-parity
+// antialiased bicubic (images) / nearest (masks) resize, ImageNet
+// normalization, and a std::thread batch API — all in one shared
+// library consumed through ctypes (no pybind11 dependency).
+//
+// Exposed C ABI:
+//   decode_image_file(path, H, W, mean[3], std[3], out[H*W*3])  -> 0/err
+//   decode_mask_file(path, H, W, out[H*W] int32, nearest)        -> 0/err
+//   decode_image_batch(paths, n, H, W, mean, std, out, n_threads)-> 0/err
+//   decode_mask_batch(paths, n, H, W, out, n_threads)            -> 0/err
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <csetjmp>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Decoding
+// ---------------------------------------------------------------------------
+
+struct ImageU8 {
+  int h = 0, w = 0, c = 0;
+  std::vector<uint8_t> data;  // HWC
+};
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+bool decode_jpeg(FILE* f, ImageU8* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->h = cinfo.output_height;
+  out->w = cinfo.output_width;
+  out->c = 3;
+  out->data.resize(size_t(out->h) * out->w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_png(FILE* f, ImageU8* out, bool as_gray) {
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  png_uint_32 w, h;
+  int bit_depth, color_type;
+  png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
+               nullptr);
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (as_gray) {
+    // keep palette/gray indices raw: palette index IS the class label
+    if (color_type == PNG_COLOR_TYPE_RGB ||
+        color_type == PNG_COLOR_TYPE_RGB_ALPHA) {
+      png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+    }
+    if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  } else {
+    if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    if (color_type == PNG_COLOR_TYPE_GRAY ||
+        color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+      png_set_gray_to_rgb(png);
+    if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  }
+  png_read_update_info(png, info);
+  int channels = png_get_channels(png, info);
+  out->h = h;
+  out->w = w;
+  out->c = channels;
+  out->data.resize(size_t(h) * w * channels);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; y++)
+    rows[y] = out->data.data() + size_t(y) * w * channels;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool decode_file(const char* path, ImageU8* out, bool as_gray) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  uint8_t magic[4] = {0};
+  if (fread(magic, 1, 4, f) != 4) {
+    fclose(f);
+    return false;
+  }
+  rewind(f);
+  bool ok = false;
+  if (magic[0] == 0xFF && magic[1] == 0xD8) {
+    ok = decode_jpeg(f, out);
+    if (ok && as_gray) {
+      // luminance-convert decoded RGB
+      for (size_t i = 0; i < size_t(out->h) * out->w; i++) {
+        const uint8_t* p = &out->data[i * 3];
+        out->data[i] = uint8_t((p[0] * 299 + p[1] * 587 + p[2] * 114) / 1000);
+      }
+      out->data.resize(size_t(out->h) * out->w);
+      out->c = 1;
+    }
+  } else if (magic[0] == 0x89 && magic[1] == 'P') {
+    ok = decode_png(f, out, as_gray);
+  }
+  fclose(f);
+  return ok;
+}
+
+// ---------------------------------------------------------------------------
+// PIL-parity antialiased bicubic resize (Keys a=-0.5, support widened by
+// the scale factor when reducing, like Pillow's convolution resampler).
+// ---------------------------------------------------------------------------
+
+inline double cubic(double x) {
+  constexpr double a = -0.5;
+  x = std::fabs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+struct FilterTable {
+  int ksize;
+  std::vector<int> bounds;      // [out] start index
+  std::vector<double> weights;  // [out, ksize]
+};
+
+FilterTable build_filter(int in_size, int out_size) {
+  constexpr double support0 = 2.0;
+  double scale = double(in_size) / out_size;
+  double filterscale = scale < 1.0 ? 1.0 : scale;
+  double support = support0 * filterscale;
+  int ksize = int(std::ceil(support)) * 2 + 1;
+  FilterTable t;
+  t.ksize = ksize;
+  t.bounds.resize(out_size);
+  t.weights.assign(size_t(out_size) * ksize, 0.0);
+  for (int xx = 0; xx < out_size; xx++) {
+    double center = (xx + 0.5) * scale;
+    int xmin = int(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = int(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    t.bounds[xx] = xmin;
+    double* w = &t.weights[size_t(xx) * ksize];
+    double total = 0.0;
+    for (int x = xmin; x < xmax; x++) {
+      double ww = cubic((x + 0.5 - center) / filterscale);
+      w[x - xmin] = ww;
+      total += ww;
+    }
+    if (total != 0.0)
+      for (int i = 0; i < xmax - xmin; i++) w[i] /= total;
+  }
+  return t;
+}
+
+void resize_bicubic(const ImageU8& src, int H, int W,
+                    std::vector<float>* dst) {
+  int c = src.c;
+  FilterTable fx = build_filter(src.w, W);
+  FilterTable fy = build_filter(src.h, H);
+  // horizontal pass: [src.h, W, c]
+  std::vector<float> tmp(size_t(src.h) * W * c);
+  for (int y = 0; y < src.h; y++) {
+    for (int x = 0; x < W; x++) {
+      const double* w = &fx.weights[size_t(x) * fx.ksize];
+      int x0 = fx.bounds[x];
+      for (int ch = 0; ch < c; ch++) {
+        double acc = 0.0;
+        for (int k = 0; k < fx.ksize; k++) {
+          int xi = x0 + k;
+          if (xi >= src.w || w[k] == 0.0) continue;
+          acc += w[k] * src.data[(size_t(y) * src.w + xi) * c + ch];
+        }
+        tmp[(size_t(y) * W + x) * c + ch] = float(acc);
+      }
+    }
+  }
+  dst->resize(size_t(H) * W * c);
+  for (int y = 0; y < H; y++) {
+    const double* w = &fy.weights[size_t(y) * fy.ksize];
+    int y0 = fy.bounds[y];
+    for (int x = 0; x < W; x++) {
+      for (int ch = 0; ch < c; ch++) {
+        double acc = 0.0;
+        for (int k = 0; k < fy.ksize; k++) {
+          int yi = y0 + k;
+          if (yi >= src.h || w[k] == 0.0) continue;
+          acc += w[k] * tmp[(size_t(yi) * W + x) * c + ch];
+        }
+        (*dst)[(size_t(y) * W + x) * c + ch] = float(acc);
+      }
+    }
+  }
+}
+
+void resize_nearest_mask(const ImageU8& src, int H, int W, int32_t* out) {
+  // PIL NEAREST rule (center sampling): src = int((dst + 0.5) * scale)
+  for (int y = 0; y < H; y++) {
+    int yi = int((y + 0.5) * double(src.h) / H);
+    if (yi >= src.h) yi = src.h - 1;
+    for (int x = 0; x < W; x++) {
+      int xi = int((x + 0.5) * double(src.w) / W);
+      if (xi >= src.w) xi = src.w - 1;
+      out[size_t(y) * W + x] = src.data[(size_t(yi) * src.w + xi) * src.c];
+    }
+  }
+}
+
+int decode_image_impl(const char* path, int H, int W, const float* mean,
+                      const float* stdv, float* out) {
+  ImageU8 img;
+  if (!decode_file(path, &img, /*as_gray=*/false)) return 1;
+  std::vector<float> resized;
+  resize_bicubic(img, H, W, &resized);
+  for (size_t i = 0; i < size_t(H) * W; i++) {
+    for (int ch = 0; ch < 3; ch++) {
+      float v = resized[i * 3 + ch] / 255.0f;
+      // PIL resize clamps to u8 before ToTensor; match that rounding
+      v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+      out[i * 3 + ch] = (v - mean[ch]) / stdv[ch];
+    }
+  }
+  return 0;
+}
+
+int decode_mask_impl(const char* path, int H, int W, int32_t* out) {
+  ImageU8 img;
+  if (!decode_file(path, &img, /*as_gray=*/true)) return 1;
+  resize_nearest_mask(img, H, W, out);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int decode_image_file(const char* path, int H, int W, const float* mean,
+                      const float* stdv, float* out) {
+  return decode_image_impl(path, H, W, mean, stdv, out);
+}
+
+int decode_mask_file(const char* path, int H, int W, int32_t* out) {
+  return decode_mask_impl(path, H, W, out);
+}
+
+int decode_image_batch(const char** paths, int n, int H, int W,
+                       const float* mean, const float* stdv, float* out,
+                       int n_threads) {
+  std::vector<int> errs(n, 0);
+  std::vector<std::thread> threads;
+  int per = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      for (int i = t * per; i < std::min(n, (t + 1) * per); i++) {
+        errs[i] = decode_image_impl(paths[i], H, W, mean, stdv,
+                                    out + size_t(i) * H * W * 3);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int e : errs)
+    if (e) return e;
+  return 0;
+}
+
+int decode_mask_batch(const char** paths, int n, int H, int W, int32_t* out,
+                      int n_threads) {
+  std::vector<int> errs(n, 0);
+  std::vector<std::thread> threads;
+  int per = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      for (int i = t * per; i < std::min(n, (t + 1) * per); i++) {
+        errs[i] = decode_mask_impl(paths[i], H, W, out + size_t(i) * H * W);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int e : errs)
+    if (e) return e;
+  return 0;
+}
+
+}  // extern "C"

@@ -48,17 +48,29 @@ def _nearest_coords(in_size: int, out_size: int):
     return np.minimum(idx, in_size - 1)
 
 
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool):
+    """Dense [out, in] interpolation matrix (two nonzeros per row).
+
+    Expressing the separable resize as matmuls keeps it on the MXU —
+    substantially faster on TPU than the gather+lerp formulation for the
+    logit/feature upsampling sizes used here (56->224, 14->56, ...)."""
+    lo, hi, w = _linear_coords(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - w)
+    np.add.at(m, (rows, hi), w)
+    return m
+
+
 def _interp_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    lo, hi, w = _linear_coords(in_size, out_size, align_corners)
-    xlo = jnp.take(x, jnp.asarray(lo), axis=axis)
-    xhi = jnp.take(x, jnp.asarray(hi), axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    wj = jnp.asarray(w).reshape(shape).astype(x.dtype)
-    return xlo * (1 - wj) + xhi * wj
+    m = jnp.asarray(_interp_matrix(in_size, out_size, align_corners), x.dtype)
+    moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.matmul(moved, m.T)
+    return jnp.moveaxis(out, -1, axis)
 
 
 def interpolate_bilinear(

@@ -102,6 +102,7 @@ class Config:
     compute_dtype: str = "bfloat16"  # dtype for conv/matmul activations
     param_dtype: str = "float32"
     use_pallas_mel: bool = False  # fused Pallas log-mel frontend
+    ckpt_path: str = ""  # checkpoint to load (orbax dir or torch .pth)
     class_slots: int = 8  # static per-batch class budget for CoroCL sampling
     eval_frames: int = 10  # padded frames per video in the batched eval step
     donate_state: bool = True

@@ -117,6 +117,11 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     model = build_model(config)
     tx, schedule = make_optimizer(config, steps_per_epoch)
     state = init_state(config, model, tx, mesh)
+    ckpt_path = getattr(config, "ckpt_path", "")
+    if ckpt_path:
+        state = _restore_into_state(state, ckpt_path, mesh)
+        logger.info("restored checkpoint %s (step %d)"
+                    % (ckpt_path, int(state.step)))
     logger.info("Number of trainable parameters: %.4fM"
                 % count_params(state.params))
 
@@ -190,6 +195,34 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     if wandb_:
         wandb_.finish()
     return state, best_iou
+
+
+def _restore_into_state(state, ckpt_path: str, mesh):
+    """Resume: orbax checkpoints restore the full train state (params,
+    opt_state, step, sound_bank — preemption recovery the reference
+    lacks, SURVEY.md §5.3); torch .pth restores model variables only."""
+    if ckpt_path.endswith((".pth", ".pt")):
+        params, batch_stats, report = load_model_variables(
+            ckpt_path, state.params, state.batch_stats)
+        if report["unexpected"]:
+            logger.warning("unconverted torch keys: %s"
+                           % report["unexpected"][:10])
+        return state.replace(params=replicate(params, mesh),
+                             batch_stats=replicate(batch_stats, mesh))
+    from cavp_tpu.engine.checkpoint import restore_checkpoint
+
+    payload = restore_checkpoint(ckpt_path)
+    new = state.replace(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        params=replicate(payload["params"], mesh),
+        batch_stats=replicate(payload["batch_stats"], mesh),
+        opt_state=jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state),
+            jax.tree_util.tree_leaves(payload["opt_state"])),
+    )
+    if "sound_bank" in payload and state.sound_bank is not None:
+        new = new.replace(sound_bank=replicate(payload["sound_bank"], mesh))
+    return new
 
 
 def _make_mesh(config: Config):

@@ -1,0 +1,56 @@
+"""Orbax checkpoint save/restore round-trip + Engine alias handling."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cavp_tpu.engine.checkpoint import (
+    Engine,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from cavp_tpu.engine.state import TrainState
+
+
+@pytest.fixture
+def tiny_state():
+    params = {"layer": {"kernel": jnp.arange(6.0).reshape(2, 3),
+                        "bias": jnp.zeros(3)}}
+    bs = {"layer": {"mean": jnp.ones(3), "var": jnp.full(3, 2.0)}}
+    return TrainState(step=jnp.asarray(7, jnp.int32), params=params,
+                      batch_stats=bs, opt_state={"mu": jnp.zeros((2, 3))},
+                      sound_bank=jnp.ones((4, 2, 5)))
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tiny_state):
+        d = tempfile.mkdtemp()
+        path = save_checkpoint(os.path.join(d, "ck"), tiny_state)
+        payload = restore_checkpoint(path)
+        assert payload["step"] == 7
+        np.testing.assert_array_equal(
+            np.asarray(payload["params"]["layer"]["kernel"]),
+            np.arange(6.0).reshape(2, 3))
+        np.testing.assert_array_equal(
+            np.asarray(payload["sound_bank"]), np.ones((4, 2, 5)))
+
+    def test_engine_epoch_last_alias(self, tiny_state):
+        d = tempfile.mkdtemp()
+        engine = Engine(config=None, ckpt_dir=d)
+        engine.update_iteration(3, 42)
+        engine.save(tiny_state)
+        link = os.path.join(d, "epoch-last")
+        assert os.path.exists(link)
+        payload = restore_checkpoint(os.path.realpath(link))
+        assert payload["extra"]["epoch"] == 3
+        assert payload["extra"]["iteration"] == 42
+        # second save repoints the alias
+        engine.update_iteration(4, 50)
+        engine.save(tiny_state)
+        payload = restore_checkpoint(os.path.realpath(link))
+        assert payload["extra"]["epoch"] == 4

@@ -103,6 +103,9 @@ class Config:
     param_dtype: str = "float32"
     use_pallas_mel: bool = False  # fused Pallas log-mel frontend
     ckpt_path: str = ""  # checkpoint to load (orbax dir or torch .pth)
+    # optional auxiliary objectives (the reference's Losser holds these
+    # but never applies them; enable with weight loss_w)
+    extra_losses: List[str] = field(default_factory=list)  # "av_contrast", "pixel_contrast"
     class_slots: int = 8  # static per-batch class budget for CoroCL sampling
     eval_frames: int = 10  # padded frames per video in the batched eval step
     donate_state: bool = True

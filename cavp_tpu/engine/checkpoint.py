@@ -64,7 +64,8 @@ def restore_checkpoint(path: str) -> Dict[str, Any]:
     return _checkpointer().restore(os.path.abspath(path))
 
 
-def load_model_variables(path: str, params, batch_stats):
+def load_model_variables(path: str, params, batch_stats,
+                         seg_model: str = "DeepLabV3Plus"):
     """Load either an orbax dir or a torch .pth into model variables.
 
     The .pth branch is the parity path for the reference's released
@@ -78,7 +79,8 @@ def load_model_variables(path: str, params, batch_stats):
 
         sd = load_torch_checkpoint(path)
         params, batch_stats, report = import_torch_state_dict(
-            sd, jax.device_get(params), jax.device_get(batch_stats))
+            sd, jax.device_get(params), jax.device_get(batch_stats),
+            seg_model=seg_model)
         return params, batch_stats, report
     payload = restore_checkpoint(path)
     return payload["params"], payload["batch_stats"], {

@@ -111,23 +111,151 @@ def _translate_segment(rest: str) -> Optional[str]:
     return None
 
 
+def _translate_hrnet_backbone(rest: str) -> Optional[str]:
+    """HighResolutionNet torch names -> flax HRNetW48Backbone paths.
+
+    torch (hrnet.py:287-646): conv1/bn1/conv2/bn2, layer1.N.*,
+    transition{t}.{j}[.0].{0,1} (Sequential conv/bn; new-branch
+    transitions nest one more Sequential), stage{s}.{m}.branches.{b}.{k}.*,
+    stage{s}.{m}.fuse_layers.{i}.{j}[.{k}].{0,1}.
+    """
+    if rest.startswith(("conv1.", "bn1.", "conv2.", "bn2.")):
+        return rest
+    m = re.match(r"layer1\.(\d+)\.(.*)", rest)
+    if m:
+        tail = m.group(2).replace("downsample.0", "downsample_conv")
+        tail = tail.replace("downsample.1", "downsample_bn")
+        return f"layer1_{m.group(1)}.{tail}"
+    m = re.match(r"transition(\d)\.(\d)\.(?:0\.)?([01])\.(.*)", rest)
+    if m:
+        t, j, cb, tail = m.groups()
+        name = "conv" if cb == "0" else "bn"
+        return f"transition{t}_{j}_{name}.{tail}"
+    m = re.match(r"stage(\d)\.(\d+)\.branches\.(\d)\.(\d+)\.(.*)", rest)
+    if m:
+        s, mod, b, k, tail = m.groups()
+        tail = tail.replace("downsample.0", "downsample_conv")
+        tail = tail.replace("downsample.1", "downsample_bn")
+        return f"stage{s}_module{mod}.branch{b}_block{k}.{tail}"
+    m = re.match(r"stage(\d)\.(\d+)\.fuse_layers\.(\d)\.(\d)\.(.*)", rest)
+    if m:
+        s, mod, i, j, tail = m.groups()
+        if int(j) > int(i):  # upsample path: Sequential(conv, bn)
+            mm = re.match(r"([01])\.(.*)", tail)
+            if not mm:
+                return None
+            name = "conv" if mm.group(1) == "0" else "bn"
+            return f"stage{s}_module{mod}.fuse{i}_{j}_{name}.{mm.group(2)}"
+        # downsample path: fuse_layers.i.j.{hop}.{0,1}.param
+        mm = re.match(r"(\d)\.([01])\.(.*)", tail)
+        if not mm:
+            return None
+        k, cb, t2 = mm.groups()
+        name = f"conv{k}" if cb == "0" else f"bn{k}"
+        return f"stage{s}_module{mod}.fuse{i}_{j}_{name}.{t2}"
+    return None
+
+
+def _translate_pvt(rest: str) -> Optional[str]:
+    """PVT-v2 torch names -> flax PVTv2 paths (pvt.py:218-330)."""
+    m = re.match(r"patch_embed(\d)\.proj\.(.*)", rest)
+    if m:
+        return f"patch_embed{m.group(1)}_proj.{m.group(2)}"
+    m = re.match(r"patch_embed(\d)\.norm\.(.*)", rest)
+    if m:
+        return f"patch_embed{m.group(1)}_norm.{m.group(2)}"
+    m = re.match(r"block(\d)\.(\d+)\.(.*)", rest)
+    if m:
+        i, j, tail = m.groups()
+        tail = tail.replace("attn.sr.", "attn.sr.")
+        tail = tail.replace("attn.norm.", "attn.norm.")
+        tail = tail.replace("mlp.dwconv.dwconv.", "mlp.dwconv.")
+        return f"block{i}_{j}.{tail}"
+    m = re.match(r"norm(\d)\.(.*)", rest)
+    if m:
+        return rest
+    return None
+
+
+def _translate_ocr(rest: str) -> Optional[str]:
+    """OCR head torch names -> flax OCRHead paths (ocrnet.py:19-75)."""
+    m = re.match(r"conv3x3\.([01])\.(.*)", rest)
+    if m:
+        name = "conv" if m.group(1) == "0" else "bn"
+        return f"segment.conv3x3.{name}.{m.group(2)}"
+    m = re.match(
+        r"ocr_distri_head\.object_context_block\.(f_pixel|f_object)\.([0134])\.(.*)",
+        rest)
+    if m:
+        which, idx, tail = m.groups()
+        sub = "0" if idx in ("0", "1") else "1"
+        name = "conv" if idx in ("0", "3") else "bn"
+        return f"segment.attention.{which}_{sub}.{name}.{tail}"
+    m = re.match(
+        r"ocr_distri_head\.object_context_block\.(f_down|f_up)\.([01])\.(.*)",
+        rest)
+    if m:
+        which, idx, tail = m.groups()
+        name = "conv" if idx == "0" else "bn"
+        return f"segment.attention.{which}.{name}.{tail}"
+    m = re.match(r"ocr_distri_head\.conv_bn_dropout\.([01])\.(.*)", rest)
+    if m:
+        name = "conv" if m.group(1) == "0" else "bn"
+        return f"segment.bottleneck.{name}.{m.group(2)}"
+    m = re.match(r"aux_head\.([013])\.(.*)", rest)
+    if m:
+        idx, tail = m.groups()
+        if idx == "3":
+            return f"segment.aux_cls.{tail}"
+        name = "conv" if idx == "0" else "bn"
+        return f"segment.aux_conv.{name}.{tail}"
+    m = re.match(r"upsample\.(.*)", rest)
+    if m:
+        return f"segment.classifier.{m.group(1)}"
+    return None
+
+
 def _translate_fusion(key: str) -> Optional[str]:
     key = key.replace("blocks.0.", "block0.").replace("blocks.1.", "block1.")
     key = key.replace(".mlp.fc1.", ".mlp.fc1.").replace(".mlp.fc2.", ".mlp.fc2.")
     return key
 
 
-def translate_torch_key(key: str) -> Optional[str]:
+def translate_torch_key(key: str, seg_model: str = "DeepLabV3Plus"
+                        ) -> Optional[str]:
     """Torch CAVP state_dict key -> dotted flax path (collection-agnostic;
-    the leaf suffix decides params vs batch_stats). None = untranslatable."""
+    the leaf suffix decides params vs batch_stats). None = untranslatable.
+
+    ``seg_model`` disambiguates the head naming (a .pth does not label
+    its architecture): DeepLabV3Plus / HRNet / OCR / PVT.
+    """
     key = re.sub(r"^module\.", "", key)
     if key.endswith("num_batches_tracked"):
         return "<drop>"
     if key.startswith("backbone.backbone."):
         out = _translate_resnet(key[len("backbone.backbone."):])
         return f"backbone.{out}" if out else None
+    if key.startswith("backbone."):
+        rest = key[len("backbone."):]
+        if seg_model == "PVT" or rest.startswith(("patch_embed", "block")):
+            out = _translate_pvt(rest)
+        else:
+            out = _translate_hrnet_backbone(rest)
+        return f"backbone.{out}" if out else None
     if key.startswith("segment."):
-        return _translate_segment(key[len("segment."):])
+        rest = key[len("segment."):]
+        if seg_model == "OCR":
+            return _translate_ocr(rest)
+        if seg_model == "HRNet":
+            m = re.match(r"upsample\.last_conv\.([01])\.(.*)", rest)
+            if m:
+                name = "last_conv" if m.group(1) == "0" else "last_bn"
+                return f"segment.{name}.{m.group(2)}"
+            m = re.match(r"upsample\.classifier\.(.*)", rest)
+            if m:
+                return f"segment.classifier.{m.group(1)}"
+            return None
+        return _translate_segment(rest)
     if key.startswith("audio_backbone."):
         return _translate_audio(key[len("audio_backbone."):])
     if key.startswith(("cross_att.", "visual_projector.")):
@@ -149,6 +277,7 @@ def import_torch_state_dict(
     state_dict: Dict[str, np.ndarray],
     params: Any,
     batch_stats: Any,
+    seg_model: str = "DeepLabV3Plus",
 ) -> Tuple[Any, Any, Dict[str, List[str]]]:
     """Load a torch state dict into (params, batch_stats) pytrees.
 
@@ -166,7 +295,7 @@ def import_torch_state_dict(
 
     for tkey, value in state_dict.items():
         value = np.asarray(value)
-        path = translate_torch_key(tkey)
+        path = translate_torch_key(tkey, seg_model)
         if path == "<drop>":
             continue
         if path is None:

@@ -124,8 +124,10 @@ def make_train_step(
         # shuffle GT rules (trainer_cavp_avss_image.py:209-212)
         gt_shuffle = jnp.where(if_match[:, None, None], pix_label, 0)
 
+        extra = tuple(getattr(config, "extra_losses", ()) or ())
+
         def loss_fn(params):
-            (logits2b, fused2b, _pack), mutated = model.apply(
+            (logits2b, fused2b, pack), mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 image, audio, eval_mode=False, mutable=["batch_stats"])
             output = logits2b[:B]  # + 0*logits2b[B:] — identical gradient
@@ -137,6 +139,26 @@ def make_train_step(
                 max_views=config.max_view,
                 class_slots=config.class_slots)
             loss = l_ce + l_ctr
+            # optional auxiliary objectives (Losser's dormant losses,
+            # loss/losser.py:54-57), weighted by loss_w
+            if "av_contrast" in extra:
+                from cavp_tpu.losses import av_contrast_loss
+
+                h, w = fused2b.shape[1:3]
+                tokens = fused2b[:B].reshape(B, h * w, -1)
+                l_av = av_contrast_loss(tokens, pack["audio"][:B], pix_label,
+                                        temperature=config.cl_temp,
+                                        feat_hw=(h, w))
+                loss = loss + config.loss_w * l_av
+                aux = {**aux, "loss/l_av_contrast": l_av}
+            if "pixel_contrast" in extra:
+                from cavp_tpu.losses import pixel_contrast_loss
+
+                l_px = pixel_contrast_loss(
+                    jax.random.fold_in(k_ctr, 1), fused2b[:B], output,
+                    pix_label, temperature=config.cl_temp)
+                loss = loss + config.loss_w * l_px
+                aux = {**aux, "loss/l_pixel_contrast": l_px}
             return loss, (mutated["batch_stats"], l_ce, l_ctr, aux)
 
         (loss, (new_bs, l_ce, l_ctr, aux)), grads = jax.value_and_grad(

@@ -17,7 +17,7 @@ nearest mask resize); exact PIL bit-parity is not required for training
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

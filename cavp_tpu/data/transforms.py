@@ -13,7 +13,7 @@ Output layout is NHWC float32 (TPU-native), labels int32 [H, W].
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 from PIL import Image, ImageEnhance

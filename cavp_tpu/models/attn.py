@@ -21,7 +21,7 @@ is why 16k-token fusion is cheap on TPU.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -11,7 +11,7 @@ with conv3x3 + dropout + bias-free 1x1 classifier).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

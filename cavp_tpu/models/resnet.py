@@ -22,7 +22,7 @@ Returns the 4 stage feature maps (resnet.py:186-201).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

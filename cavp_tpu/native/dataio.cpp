@@ -164,7 +164,8 @@ inline double cubic(double x) {
 struct FilterTable {
   int ksize;
   std::vector<int> bounds;      // [out] start index
-  std::vector<double> weights;  // [out, ksize]
+  std::vector<int> counts;      // [out] taps
+  std::vector<float> weights;   // [out, ksize]
 };
 
 FilterTable build_filter(int in_size, int out_size) {
@@ -176,7 +177,8 @@ FilterTable build_filter(int in_size, int out_size) {
   FilterTable t;
   t.ksize = ksize;
   t.bounds.resize(out_size);
-  t.weights.assign(size_t(out_size) * ksize, 0.0);
+  t.counts.resize(out_size);
+  t.weights.assign(size_t(out_size) * ksize, 0.0f);
   for (int xx = 0; xx < out_size; xx++) {
     double center = (xx + 0.5) * scale;
     int xmin = int(center - support + 0.5);
@@ -184,15 +186,16 @@ FilterTable build_filter(int in_size, int out_size) {
     int xmax = int(center + support + 0.5);
     if (xmax > in_size) xmax = in_size;
     t.bounds[xx] = xmin;
-    double* w = &t.weights[size_t(xx) * ksize];
+    t.counts[xx] = xmax - xmin;
+    float* w = &t.weights[size_t(xx) * ksize];
     double total = 0.0;
     for (int x = xmin; x < xmax; x++) {
       double ww = cubic((x + 0.5 - center) / filterscale);
-      w[x - xmin] = ww;
+      w[x - xmin] = float(ww);
       total += ww;
     }
     if (total != 0.0)
-      for (int i = 0; i < xmax - xmin; i++) w[i] /= total;
+      for (int i = 0; i < xmax - xmin; i++) w[i] = float(w[i] / total);
   }
   return t;
 }
@@ -202,37 +205,34 @@ void resize_bicubic(const ImageU8& src, int H, int W,
   int c = src.c;
   FilterTable fx = build_filter(src.w, W);
   FilterTable fy = build_filter(src.h, H);
-  // horizontal pass: [src.h, W, c]
+  // horizontal pass: [src.h, W, c], float accumulation, tap-bounded
   std::vector<float> tmp(size_t(src.h) * W * c);
   for (int y = 0; y < src.h; y++) {
+    const uint8_t* srow = &src.data[size_t(y) * src.w * c];
+    float* trow = &tmp[size_t(y) * W * c];
     for (int x = 0; x < W; x++) {
-      const double* w = &fx.weights[size_t(x) * fx.ksize];
+      const float* w = &fx.weights[size_t(x) * fx.ksize];
       int x0 = fx.bounds[x];
+      int n = fx.counts[x];
       for (int ch = 0; ch < c; ch++) {
-        double acc = 0.0;
-        for (int k = 0; k < fx.ksize; k++) {
-          int xi = x0 + k;
-          if (xi >= src.w || w[k] == 0.0) continue;
-          acc += w[k] * src.data[(size_t(y) * src.w + xi) * c + ch];
-        }
-        tmp[(size_t(y) * W + x) * c + ch] = float(acc);
+        float acc = 0.0f;
+        const uint8_t* sp = srow + size_t(x0) * c + ch;
+        for (int k = 0; k < n; k++) acc += w[k] * sp[size_t(k) * c];
+        trow[size_t(x) * c + ch] = acc;
       }
     }
   }
   dst->resize(size_t(H) * W * c);
   for (int y = 0; y < H; y++) {
-    const double* w = &fy.weights[size_t(y) * fy.ksize];
+    const float* w = &fy.weights[size_t(y) * fy.ksize];
     int y0 = fy.bounds[y];
-    for (int x = 0; x < W; x++) {
-      for (int ch = 0; ch < c; ch++) {
-        double acc = 0.0;
-        for (int k = 0; k < fy.ksize; k++) {
-          int yi = y0 + k;
-          if (yi >= src.h || w[k] == 0.0) continue;
-          acc += w[k] * tmp[(size_t(yi) * W + x) * c + ch];
-        }
-        (*dst)[(size_t(y) * W + x) * c + ch] = float(acc);
-      }
+    int n = fy.counts[y];
+    float* drow = &(*dst)[size_t(y) * W * c];
+    for (int x = 0; x < W * c; x++) {
+      float acc = 0.0f;
+      for (int k = 0; k < n; k++)
+        acc += w[k] * tmp[size_t(y0 + k) * W * c + x];
+      drow[x] = acc;
     }
   }
 }

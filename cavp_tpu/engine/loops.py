@@ -270,29 +270,46 @@ def make_eval_step(model, config):
 
 
 def make_jf_test_step(model, config):
-    """Returns jf_step(variables, batch) -> (miou, fscore) per video.
+    """Returns jf_step(variables, batch) -> (miou [V], fscore [V]) per
+    video, batched over V videos.
 
-    batch: one video — image [T,H,W,3], waveform [T,Ca,L],
-    pix_label [T,H,W] binary {0,1}, valid [T].
-    Mirrors trainer_cavp_avs_obj.test:292-353: J = mask_iou over the
-    video's frames on argmax masks; F = Eval_Fmeasure on class-1 softmax.
+    batch: image [V,T,H,W,3] or [T,H,W,3], waveform [V,T,Ca,L],
+    pix_label [V,T,H,W] binary {0,1}, valid [V,T].
+    Mirrors trainer_cavp_avs_obj.test:292-353 — J = per-video mask_iou on
+    argmax masks, F = per-video Eval_Fmeasure on class-1 softmax — but
+    runs all V*T frames through one forward (the reference loops videos
+    at batch 1) and vmaps the per-video metric reductions.
     """
     n_frames = config.mel_frames
 
     def jf_step(variables, batch):
         image = batch["image"]
-        audio = preprocess_audio(batch["waveform"], n_frames=n_frames,
+        single = image.ndim == 4
+        if single:
+            image = image[None]
+        V, T = image.shape[:2]
+        wave = batch["waveform"].reshape((V * T,) + batch["waveform"].shape[-2:])
+        audio = preprocess_audio(wave, n_frames=n_frames,
                                  spec_min=config.spec_min,
                                  spec_max=config.spec_max)
-        gt = batch["pix_label"].astype(jnp.float32)
-        valid = batch["valid"]
+        gt = batch["pix_label"].astype(jnp.float32).reshape(
+            V, T, *batch["pix_label"].shape[-2:])
+        valid = batch["valid"].reshape(V, T)
 
-        logits, _, _ = model.apply(variables, image, audio, eval_mode=True)
+        flat_img = image.reshape((V * T,) + image.shape[2:])
+        logits, _, _ = model.apply(variables, flat_img, audio, eval_mode=True)
+        H, W = logits.shape[1:3]
         pred_mask = jnp.argmax(logits, axis=-1).astype(jnp.float32)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+        pred_mask = pred_mask.reshape(V, T, H, W)
+        probs = probs.reshape(V, T, H, W)
 
-        miou = mask_iou(pred_mask, gt, weight=valid)
-        fscore = eval_fmeasure(probs, gt, weight=valid)
+        miou = jax.vmap(lambda p, g, w: mask_iou(p, g, weight=w))(
+            pred_mask, gt, valid)
+        fscore = jax.vmap(lambda p, g, w: eval_fmeasure(p, g, weight=w))(
+            probs, gt, valid)
+        if single:
+            return miou[0], fscore[0]
         return miou, fscore
 
     return jf_step

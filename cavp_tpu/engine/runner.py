@@ -279,10 +279,10 @@ def run_jf_test(config: Config, model, state, test_loader) -> Dict[str, float]:
     for batch in test_loader:
         batch.pop("name", None)
         batch.pop("img_label", None)
-        flat = flatten_video_batch(batch)
-        miou, fscore = jf_step(variables, flat)
-        mious.append(float(miou))
-        fscores.append(float(fscore))
+        batch.pop("frame_available", None)
+        miou, fscore = jf_step(variables, batch)
+        mious.extend(np.atleast_1d(np.asarray(miou)).tolist())
+        fscores.extend(np.atleast_1d(np.asarray(fscore)).tolist())
     return {
         "miou": float(np.mean(mious)),
         "F_score": float(np.mean(fscores)),

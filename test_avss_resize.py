@@ -40,7 +40,8 @@ def main():
     else:
         raise ValueError("use --avsbench_split v1s|v1m for J&F eval")
 
-    loader = DataLoader(test_ds, 1, collate_eval_videos,
+    videos_per_batch = 4 if config.resize_flag else 1
+    loader = DataLoader(test_ds, videos_per_batch, collate_eval_videos,
                         num_workers=config.num_workers)
     results = run_jf_test(config, model, state, loader)
     logger.info("mIoU: {miou:.4f} | F: {F_score:.4f} | J&F: {jf:.4f}".format(

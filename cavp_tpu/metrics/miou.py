@@ -30,14 +30,15 @@ def miou_init(num_classes: int) -> MIoUState:
 
 def _class_hist(x: jnp.ndarray, num_classes: int, weights: jnp.ndarray) -> jnp.ndarray:
     """histc(x, bins=num_classes, min=1, max=num_classes) for integer
-    values 1..C. Expressed as a compare+reduce (not scatter-add): TPUs
-    stream the one-hot compare through the VPU and fuse the reduction,
-    whereas scatters serialize."""
+    values 1..C. Expressed as a weighted one-hot matvec (not scatter-add):
+    TPUs run it on the MXU with exact f32 accumulation of bf16 0/1
+    products, whereas scatters serialize."""
     flat = x.reshape(-1, 1)
-    w = weights.reshape(-1, 1)
+    w = weights.reshape(-1).astype(jnp.bfloat16)
     classes = jnp.arange(1, num_classes + 1, dtype=x.dtype).reshape(1, -1)
-    onehot = (flat == classes).astype(jnp.float32)
-    return jnp.sum(onehot * w, axis=0)
+    onehot = (flat == classes).astype(jnp.bfloat16)
+    return jnp.einsum("p,pc->c", w, onehot,
+                      preferred_element_type=jnp.float32)
 
 
 def miou_update(

@@ -39,6 +39,27 @@ from cavp_tpu.ops.interp import interpolate_bilinear
 LATENT_DIM = {"DeepLabV3Plus": 304, "HRNet": 720, "OCR": 512, "PVT": 112}
 
 
+class ProjectionHead(nn.Module):
+    """cavp_model.py:55-66 — conv1x1+BN+conv1x1 projection. Defined by
+    the reference but unused by CAVP (the operative projector is the
+    Mlp); kept for API parity."""
+
+    proj_dim: int = 256
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from cavp_tpu.models.layers import BatchNorm, Conv
+
+        dim_in = x.shape[-1]
+        x = Conv(dim_in, 1, use_bias=True, dtype=self.dtype, name="proj0")(x)
+        x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                      name="proj_bn")(x, not train)
+        return Conv(self.proj_dim, 1, use_bias=True, dtype=self.dtype,
+                    name="proj1")(x)
+
+
 class CAVP(nn.Module):
     """The full audio-visual segmentation system."""
 

@@ -189,7 +189,10 @@ class BatchNorm(nn.Module):
             beta = self.param("bias", nn.initializers.zeros, (features,),
                               self.param_dtype).astype(jnp.float32)
             shift = shift + beta
-        return (x.astype(jnp.float32) * scale + shift).astype(dtype)
+        # The per-channel affine is computed in f32 but applied in the
+        # activation dtype: keeping the elementwise chain in bf16 lets
+        # XLA fuse conv->BN->ReLU without f32 round-trips (bandwidth).
+        return x * scale.astype(dtype) + shift.astype(dtype)
 
 
 class LayerNorm(nn.Module):

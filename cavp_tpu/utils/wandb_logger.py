@@ -36,12 +36,25 @@ def colorize_mask(mask: np.ndarray, palette: List[int]) -> np.ndarray:
     return pal[m]
 
 
+def load_eval_list(path: str) -> List[str]:
+    """utils/eval_list.txt loader (trainer_cavp_avss_image.py:59-60):
+    video uids whitelisted for image upload during eval."""
+    try:
+        with open(path) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    except OSError:
+        return []
+
+
 class Tensorboard:
     """Same public surface as the reference class; wandb optional."""
 
-    def __init__(self, config, palette: Optional[List[int]] = None):
+    def __init__(self, config, palette: Optional[List[int]] = None,
+                 eval_list_path: str = ""):
         self.config = config
         self.palette = palette
+        self.eval_list = load_eval_list(eval_list_path) if eval_list_path \
+            else []
         self.history: List[Dict] = []
         self._wandb = None
         if config.wandb_mode not in ("disabled", "", None):

@@ -1,0 +1,119 @@
+"""Serving-oriented inference API.
+
+A thin production wrapper around the jitted CAVP forward: fixed compiled
+shapes (one compile per bucket), automatic batch padding, numpy in/out,
+optional on-device mel from raw waveforms. This is the deployment
+surface the reference lacks entirely (its eval scripts are research
+loops); shapes are locked up front so serving never triggers a
+recompile.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cavp_tpu.config.setups import Config
+from cavp_tpu.engine.checkpoint import load_model_variables
+from cavp_tpu.engine.loops import preprocess_audio
+
+
+class Predictor:
+    """Batched sounding-object segmentation inference.
+
+    Example:
+        p = Predictor(config, ckpt_path="avss_224.pth", batch_sizes=(8,))
+        masks = p.predict(images_uint8, waveforms)   # [N, H, W] int32
+    """
+
+    def __init__(self, config: Config, ckpt_path: str = "",
+                 batch_sizes: Sequence[int] = (8,),
+                 return_probs: bool = False):
+        from cavp_tpu.engine.runner import build_model
+
+        self.config = config
+        self.batch_sizes = sorted(batch_sizes)
+        self.return_probs = return_probs
+        self.model = build_model(config)
+
+        rng = jax.random.PRNGKey(config.seed)
+        image = jnp.zeros((1, config.image_height, config.image_width, 3))
+        audio = jnp.zeros((1, config.mel_frames, 64, config.in_plane))
+        variables = self.model.init(rng, image, audio, eval_mode=True)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        if ckpt_path:
+            params, batch_stats, report = load_model_variables(
+                ckpt_path, params, batch_stats, seg_model=config.seg_model)
+            if report["unexpected"] or report["missing"]:
+                raise ValueError(
+                    f"checkpoint mismatch: {len(report['unexpected'])} "
+                    f"unexpected / {len(report['missing'])} missing keys")
+        self.variables = {"params": jax.device_put(params),
+                          "batch_stats": jax.device_put(batch_stats)}
+
+        mean = np.asarray(config.image_mean, np.float32)
+        std = np.asarray(config.image_std, np.float32)
+
+        def _forward(variables, image, waveform):
+            img = (image.astype(jnp.float32) / 255.0 - mean) / std
+            audio = preprocess_audio(waveform,
+                                     n_frames=config.mel_frames,
+                                     spec_min=config.spec_min,
+                                     spec_max=config.spec_max)
+            logits, _, _ = self.model.apply(variables, img, audio,
+                                            eval_mode=True)
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if return_probs:
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                return pred, probs
+            return pred, None
+
+        self._forward = jax.jit(_forward)
+
+    def warmup(self):
+        """Compile every batch bucket ahead of serving."""
+        for b in self.batch_sizes:
+            img = np.zeros((b, self.config.image_height,
+                            self.config.image_width, 3), np.uint8)
+            wav = np.zeros((b, self.config.in_plane,
+                            self.config.audio_samples), np.float32)
+            pred, _ = self._forward(self.variables, jnp.asarray(img),
+                                    jnp.asarray(wav))
+            jax.block_until_ready(pred)
+        return self
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if n <= b:
+                return b
+        return self.batch_sizes[-1]
+
+    def predict(self, images: np.ndarray, waveforms: np.ndarray
+                ) -> Dict[str, np.ndarray]:
+        """images: [N, H, W, 3] uint8; waveforms: [N, Cin, L] float32
+        (16 kHz). Returns {"mask": [N, H, W] int32, "probs": optional}.
+        Requests larger than the biggest bucket are chunked."""
+        n = images.shape[0]
+        masks, probs = [], []
+        start = 0
+        while start < n:
+            chunk = min(n - start, self.batch_sizes[-1])
+            bucket = self._bucket(chunk)
+            img = np.zeros((bucket,) + images.shape[1:], images.dtype)
+            wav = np.zeros((bucket,) + waveforms.shape[1:], waveforms.dtype)
+            img[:chunk] = images[start:start + chunk]
+            wav[:chunk] = waveforms[start:start + chunk]
+            pred, pr = self._forward(self.variables, jnp.asarray(img),
+                                     jnp.asarray(wav))
+            masks.append(np.asarray(pred)[:chunk])
+            if pr is not None:
+                probs.append(np.asarray(pr)[:chunk])
+            start += chunk
+        out = {"mask": np.concatenate(masks)}
+        if probs:
+            out["probs"] = np.concatenate(probs)
+        return out

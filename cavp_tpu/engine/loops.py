@@ -71,6 +71,8 @@ def make_train_step(
     inside one compiled step.
     """
     n_frames = config.mel_frames
+    if variant == "baseline":
+        return _make_baseline_train_step(model, tx, config)
     use_wave_bank = variant in ("avss", "vpo_mono") and not (
         variant == "avss" and (config.avsbench_split != "all"
                                or config.setup == "avss_binary"))
@@ -180,6 +182,34 @@ def make_train_step(
             **aux,
         }
         return new_state, metrics
+
+    return train_step
+
+
+def _make_baseline_train_step(model, tx, config):
+    """``--use_baseline`` (main_avss_resize.py:92-104): visual-only
+    VisualModel, plain CE objective — no shuffle batch, no SoundBank,
+    no contrastive terms."""
+
+    def train_step(state, batch, rng, epoch):
+        del rng, epoch
+        image = batch["image"]
+        pix_label = batch["pix_label"]
+
+        def loss_fn(params):
+            (logits, _, _), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                image, None, eval_mode=False, mutable=["batch_stats"])
+            l_ce = cross_entropy(logits, pix_label)
+            return l_ce, mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, {"loss/loss": loss, "loss/cross_entropy": loss}
 
     return train_step
 

@@ -141,6 +141,8 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
         test_ds, eval_batch_size, eval_collate,
         num_workers=config.num_workers) if test_ds is not None else None
 
+    if config.use_baseline:
+        variant = "baseline"  # visual-only CE (main_avss_resize.py:92-104)
     train_step = jax.jit(make_train_step(model, tx, config, variant=variant),
                          donate_argnums=(0,))
     rng = jax.random.PRNGKey(config.seed + 1)

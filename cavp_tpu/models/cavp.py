@@ -203,8 +203,14 @@ class VisualModel(nn.Module):
             aspp_out_plane=256 if self.visual_backbone in (50, 101) else 64,
             axis_name=self.axis_name, dtype=self.dtype)
 
-    def __call__(self, image, train: bool = False):
+    def __call__(self, image, audio=None, eval_mode: bool = True):
+        """Signature-compatible with CAVP (audio ignored) so the shared
+        train/eval steps serve ``--use_baseline`` unchanged. Returns the
+        same (logits, feature, pack) triple."""
+        train = not eval_mode
         feats = self.backbone(image, train)
-        logits = self.segment(feats, train)
-        return interpolate_bilinear(logits, image.shape[1:3],
-                                    align_corners=False)
+        fea = self.segment.forward_feature(feats, train)
+        logits = self.segment.upsample(fea, train)
+        logits = interpolate_bilinear(logits, image.shape[1:3],
+                                      align_corners=False)
+        return logits, fea, {}

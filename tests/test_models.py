@@ -104,5 +104,7 @@ class TestVisualBaseline:
         model = VisualModel(num_classes=3, visual_backbone=18)
         x = jnp.zeros((1, 64, 64, 3))
         variables = model.init(jax.random.PRNGKey(0), x)
-        out = model.apply(variables, x)
-        assert out.shape == (1, 64, 64, 3)
+        logits, fea, pack = model.apply(variables, x)
+        assert logits.shape == (1, 64, 64, 3)
+        assert fea.shape[-1] == 112  # aspp64 + 48 for the r18 backbone
+        assert pack == {}

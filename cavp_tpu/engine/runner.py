@@ -22,8 +22,6 @@ from cavp_tpu.config.setups import Config
 from cavp_tpu.data.pipeline import (
     DataLoader,
     collate_eval_videos,
-    collate_train_frames,
-    collate_train_videos,
     flatten_video_batch,
 )
 from cavp_tpu.engine.checkpoint import Engine, load_model_variables

@@ -73,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extras (no reference equivalent)
     parser.add_argument("--compute_dtype", default="bfloat16", type=str,
                         choices=["bfloat16", "float32"])
-    parser.add_argument("--class_slots", default=8, type=int,
+    parser.add_argument("--class_slots", default=16, type=int,
                         help="static class budget per batch for CoroCL sampling")
     parser.add_argument("--use_pallas_mel", default=False, action="store_true",
                         help="use the fused Pallas log-mel kernel")

@@ -106,7 +106,7 @@ class Config:
     # optional auxiliary objectives (the reference's Losser holds these
     # but never applies them; enable with weight loss_w)
     extra_losses: List[str] = field(default_factory=list)  # "av_contrast", "pixel_contrast"
-    class_slots: int = 8  # static per-batch class budget for CoroCL sampling
+    class_slots: int = 16  # static per-batch class budget for CoroCL sampling
     eval_frames: int = 10  # padded frames per video in the batched eval step
     donate_state: bool = True
 

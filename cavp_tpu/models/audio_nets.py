@@ -134,7 +134,12 @@ class AudioModel(nn.Module):
         self.cls_head = Dense(self.num_classes, dtype=self.dtype)
 
     def __call__(self, x, train: bool = False):
-        return self.net(x, train)
+        out = self.net(x, train)
+        if self.is_initializing():
+            # Materialize the (forward-unused) cls_head params so torch
+            # checkpoints convert 1:1 with no unexpected keys.
+            _ = self.cls_head(out)
+        return out
 
     def forward_cls(self, x, train: bool = False):
         return self.cls_head(self.net(x, train))

@@ -45,6 +45,16 @@ def single_source_class(img_label: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
     return cls.astype(jnp.int32), count == 1
 
 
+def _enqueue_mask(img_label: jnp.ndarray, num_classes: int,
+                  per_label: bool) -> jnp.ndarray:
+    """mask[c, i] = sample i enqueues into class row c (bool [C, B])."""
+    fg = _fg_labels(img_label)
+    if per_label:
+        return (fg > 0).T
+    cls, single = single_source_class(img_label)
+    return (jnp.arange(num_classes)[:, None] == cls[None, :]) & single[None, :]
+
+
 def update_bank(bank: jnp.ndarray, items: jnp.ndarray,
                 img_label: jnp.ndarray, per_label: bool = False) -> jnp.ndarray:
     """FIFO-enqueue ``items`` [B, dim] by class, sequential batch order.
@@ -52,7 +62,41 @@ def update_bank(bank: jnp.ndarray, items: jnp.ndarray,
     per_label=False: AVSS semantics (only single-source samples enqueue,
     cavp_model.py:29-38). per_label=True: VPO semantics (every fg label
     of every sample enqueues, trainer_cavp_vpo_stereo.py:38-54).
+
+    Vectorized, scatter-free: class rows are independent and within a
+    row enqueues happen in batch order, so the sequential reference
+    update equals, per class c with m_c enqueued items,
+    ``concat(row[m_c:], items_of_c)`` — computed for all classes at once
+    as a one-hot matmul (items gathered by per-class rank) followed by a
+    windowed gather. Replaces a B×C chain of dynamic-slice conds that
+    serialized on TPU (the pattern CLAUDE.md warns about).
     """
+    B = items.shape[0]
+    C, N, _ = bank.shape
+
+    mask = _enqueue_mask(img_label, C, per_label)          # [C, B] bool
+    mi = mask.astype(jnp.int32)
+    rank = jnp.cumsum(mi, axis=1) - mi                     # [C, B] 0-based
+    # one-hot scatter-as-matmul: W[c, r, i] = (i is the r-th enqueue of c)
+    W = (mask[:, None, :]
+         & (rank[:, None, :] == jnp.arange(B)[None, :, None]))
+    items_by_rank = jnp.einsum(
+        "cri,id->crd", W.astype(items.dtype), items)       # [C, B, dim]
+    m = jnp.sum(mi, axis=1)                                # [C]
+
+    # new_row[c, j] = concat(row, items_by_rank)[c, m_c + j]; when
+    # m_c > N this window lands entirely in the items, keeping the
+    # newest N — exactly the FIFO semantics.
+    combined = jnp.concatenate([bank, items_by_rank], axis=1)  # [C, N+B, d]
+    idx = m[:, None] + jnp.arange(N)[None, :]              # [C, N]
+    return jnp.take_along_axis(combined, idx[:, :, None], axis=1)
+
+
+def _update_bank_loop(bank: jnp.ndarray, items: jnp.ndarray,
+                      img_label: jnp.ndarray,
+                      per_label: bool = False) -> jnp.ndarray:
+    """Direct sequential transcription of the reference FIFO
+    (cavp_model.py:29-44) — kept as the equivalence oracle for tests."""
     fg = _fg_labels(img_label)
     B = items.shape[0]
     num_classes = bank.shape[0]

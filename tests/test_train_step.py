@@ -114,6 +114,40 @@ class TestSoundBank:
         assert float(bank[2, 1, 0]) == 0.0
         assert float(bank[0, 1, 0]) == 0.0  # background never queued
 
+    @pytest.mark.parametrize("per_label", [False, True])
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_vectorized_matches_sequential_oracle(self, per_label, seed):
+        """The scatter-free one-hot-matmul update must reproduce the
+        sequential reference FIFO exactly (incl. multi-source skips,
+        bg-only rows and >1 enqueue per class per batch)."""
+        from cavp_tpu.models.soundbank import _update_bank_loop
+
+        rng = np.random.RandomState(seed)
+        C, N, D, B = 6, 3, 5, 12
+        bank = jnp.asarray(rng.randn(C, N, D).astype(np.float32))
+        items = jnp.asarray(rng.randn(B, D).astype(np.float32))
+        # labels mixing bg-only, single-source (duplicated classes so one
+        # batch enqueues several items into the same row) and multi-source
+        labels = np.zeros((B, C), np.int32)
+        labels[:, 0] = 1
+        for i in range(B):
+            k = rng.randint(0, 4)  # 0 = bg-only
+            for c in rng.choice(np.arange(1, C), size=k, replace=False):
+                labels[i, c] = 1
+        labels = jnp.asarray(labels)
+        got = update_bank(bank, items, labels, per_label=per_label)
+        want = _update_bank_loop(bank, items, labels, per_label=per_label)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_vectorized_overflow_keeps_newest(self):
+        """More enqueues than bank_size in one batch keeps the newest N."""
+        bank = init_bank(2, 2, 1)
+        labels = jnp.asarray([[0, 1]] * 3, jnp.int32)
+        items = jnp.asarray([[1.0], [2.0], [3.0]])
+        got = update_bank(bank, items, labels)
+        np.testing.assert_array_equal(np.asarray(got[1, :, 0]), [2.0, 3.0])
+
     def test_overwrite_miss_match_counts(self):
         key = jax.random.PRNGKey(0)
         B = 8

@@ -21,3 +21,18 @@ capability it rebuilds):
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a preinstalled PJRT plugin (e.g. the
+# axon TPU tunnel) registers itself ahead of the env var: the plugin
+# wins over the env var alone, so pin the platform through the config
+# API. Lets `JAX_PLATFORMS=cpu python main_avss.py ...` behave as
+# documented on any host.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass

@@ -70,11 +70,19 @@ def build_parser() -> argparse.ArgumentParser:
     # avsbench
     parser.add_argument("--avsbench_split", default="all", type=str)
     parser.add_argument("--data_root", default="", type=str)
+    parser.add_argument("--root_dataset_dir", default=None, type=str,
+                        help="override the dataset root (avsbench_semantic "
+                             "parent dir)")
     # TPU-native extras (no reference equivalent)
     parser.add_argument("--compute_dtype", default="bfloat16", type=str,
                         choices=["bfloat16", "float32"])
     parser.add_argument("--class_slots", default=16, type=int,
                         help="static class budget per batch for CoroCL sampling")
+    parser.add_argument("--use_tfdata", default=False, action="store_true",
+                        help="tf.data eval input pipeline")
+    parser.add_argument("--eval_list_path", default="", type=str,
+                        help="eval_list.txt of video uids whitelisted for "
+                             "wandb image upload during validation")
     parser.add_argument("--use_pallas_mel", default=False, action="store_true",
                         help="use the fused Pallas log-mel kernel")
     parser.add_argument("--ckpt_path", default="", type=str,
@@ -115,6 +123,8 @@ def load_args_and_config(argv: Optional[Sequence[str]] = None) -> Config:
             continue
         if key in _SETUP_OWNED and key not in explicit:
             continue  # setup config owns this value
+        if value is None and key not in explicit:
+            continue  # None-default flags only apply when passed
         updates[key] = value
     if isinstance(updates.get("tags"), str):
         updates["tags"] = [updates["tags"]] if updates["tags"] else []

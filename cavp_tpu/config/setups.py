@@ -102,6 +102,10 @@ class Config:
     compute_dtype: str = "bfloat16"  # dtype for conv/matmul activations
     param_dtype: str = "float32"
     use_pallas_mel: bool = False  # fused Pallas log-mel frontend
+    use_tfdata: bool = False  # tf.data eval input pipeline (else thread pool)
+    # video-uid whitelist for eval image uploads (utils/eval_list.txt,
+    # trainer_cavp_avss_image.py:59-60,449-463)
+    eval_list_path: str = ""
     ckpt_path: str = ""  # checkpoint to load (orbax dir or torch .pth)
     # optional auxiliary objectives (the reference's Losser holds these
     # but never applies them; enable with weight loss_w)

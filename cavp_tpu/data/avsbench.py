@@ -75,25 +75,40 @@ class S4Dataset:
         wav = os.path.join(self.paths["dir_wav"], self.split, category,
                            video_name + ".wav")
 
-        images, labels = [], []
-        for i in range(1, 6):
-            images.append(Image.open(
-                os.path.join(img_base, f"{video_name}_{i}.png")).convert("RGB"))
-        for i in range(1, self.mask_num + 1):
-            labels.append(Image.open(
-                os.path.join(mask_base, f"{video_name}_{i}.png")).convert("1"))
-        while len(labels) < 5:
-            labels.append(Image.fromarray(
-                np.zeros_like(np.asarray(labels[-1]))))
+        img_paths = [os.path.join(img_base, f"{video_name}_{i}.png")
+                     for i in range(1, 6)]
+        mask_paths = [os.path.join(mask_base, f"{video_name}_{i}.png")
+                      for i in range(1, self.mask_num + 1)]
 
-        if self.split == "train":
-            pack = [self.transform(im, lb) for im, lb in zip(images, labels)]
+        nat = None
+        if self.split != "train":
+            nat = self.transform.native_eval_batch(img_paths, mask_paths)
+        if nat is not None:
+            image, label = nat
+            label = np.clip(label, 0, 1)
+            if label.shape[0] < 5:
+                label = np.concatenate(
+                    [label, np.zeros((5 - label.shape[0],) + label.shape[1:],
+                                     label.dtype)])
         else:
-            pack = [self.transform.test_aug(im, lb)
-                    for im, lb in zip(images, labels)]
-        image = np.stack([p[0] for p in pack])
-        label = np.stack([p[1] for p in pack]).astype(np.int32)
-        label = np.clip(label, 0, 1)  # PIL '1' -> {0,1}
+            images, labels = [], []
+            for p in img_paths:
+                images.append(Image.open(p).convert("RGB"))
+            for p in mask_paths:
+                labels.append(Image.open(p).convert("1"))
+            while len(labels) < 5:
+                labels.append(Image.fromarray(
+                    np.zeros_like(np.asarray(labels[-1]))))
+
+            if self.split == "train":
+                pack = [self.transform(im, lb)
+                        for im, lb in zip(images, labels)]
+            else:
+                pack = [self.transform.test_aug(im, lb)
+                        for im, lb in zip(images, labels)]
+            image = np.stack([p[0] for p in pack])
+            label = np.stack([p[1] for p in pack]).astype(np.int32)
+            label = np.clip(label, 0, 1)  # PIL '1' -> {0,1}
 
         waveform = load_audio(wav, self.AUDIO_SECONDS).reshape(10, -1)
 
@@ -177,18 +192,22 @@ class MS3Dataset:
 
         row = self.df.iloc[index]
         video = row["video_id"]
-        images, labels = [], []
-        for i in range(1, 6):
-            images.append(Image.open(os.path.join(
-                self.paths["dir_img"], video,
-                f"{video}.mp4_{i}.png")).convert("RGB"))
-            labels.append(Image.open(os.path.join(
-                self.paths["dir_mask"], self.split, video,
-                f"{video}_{i}.png")).convert("1"))
-        pack = [self.transform.test_aug(im, lb)
-                for im, lb in zip(images, labels)]
-        image = np.stack([p[0] for p in pack])
-        label = np.clip(np.stack([p[1] for p in pack]).astype(np.int32), 0, 1)
+        img_paths = [os.path.join(self.paths["dir_img"], video,
+                                  f"{video}.mp4_{i}.png") for i in range(1, 6)]
+        mask_paths = [os.path.join(self.paths["dir_mask"], self.split, video,
+                                   f"{video}_{i}.png") for i in range(1, 6)]
+        nat = self.transform.native_eval_batch(img_paths, mask_paths)
+        if nat is not None:
+            image, label = nat
+            label = np.clip(label, 0, 1)
+        else:
+            images = [Image.open(p).convert("RGB") for p in img_paths]
+            labels = [Image.open(p).convert("1") for p in mask_paths]
+            pack = [self.transform.test_aug(im, lb)
+                    for im, lb in zip(images, labels)]
+            image = np.stack([p[0] for p in pack])
+            label = np.clip(np.stack([p[1] for p in pack]).astype(np.int32),
+                            0, 1)
         waveform = load_audio(self._wav(video), self.AUDIO_SECONDS).reshape(10, -1)
         pad = lambda x: np.concatenate(
             [x, np.zeros((5,) + x.shape[1:], x.dtype)], axis=0)

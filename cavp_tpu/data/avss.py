@@ -111,23 +111,47 @@ class AVSSDataset:
         img_files = sorted(f for f in os.listdir(fn_img) if f.endswith(".jpg"))
         mask_files = sorted(f for f in os.listdir(fn_label) if f.endswith(".png"))
 
-        images, labels = [], []
-        img = lab = None
-        for i in range(len(img_files)):
-            img = Image.open(os.path.join(fn_img, f"{i}.jpg")).convert("RGB")
-            images.append(img)
-        for _ in range(self.MASK_NUM - len(images)):
-            images.append(Image.fromarray(
-                np.zeros_like(np.asarray(images[-1]))))
-        for i in range(len(mask_files)):
-            lab = Image.open(os.path.join(fn_label, f"{i}.png"))
-            labels.append(lab)
-        for _ in range(self.MASK_NUM - len(labels)):
-            labels.append(Image.fromarray(np.zeros_like(np.asarray(labels[-1]))))
+        img_paths = [os.path.join(fn_img, f"{i}.jpg")
+                     for i in range(len(img_files))]
+        mask_paths = [os.path.join(fn_label, f"{i}.png")
+                      for i in range(len(mask_files))]
 
-        pack = [self.transform(im, lb) for im, lb in zip(images, labels)]
-        image = np.stack([p[0] for p in pack])           # [10, H, W, 3]
-        label = np.stack([p[1] for p in pack])           # [10, H, W]
+        # Eval fast path: threaded native decode (no PIL, no GIL) —
+        # replaces the reference's 16-worker DataLoader decode
+        # (main_avss.py DataLoader(num_workers=16)).
+        nat = self.transform.native_eval_batch(img_paths, mask_paths)
+        if nat is not None:
+            image, label = nat
+            pad_i = self.MASK_NUM - image.shape[0]
+            pad_m = self.MASK_NUM - label.shape[0]
+            if pad_i:
+                # PIL path pads with zero *images* that then normalize
+                # to -mean/std; match exactly.
+                fill = ((0.0 - self.transform.mean) / self.transform.std
+                        ).astype(image.dtype)
+                pad_block = np.broadcast_to(
+                    fill, (pad_i,) + image.shape[1:]).copy()
+                image = np.concatenate([image, pad_block])
+            if pad_m:
+                label = np.concatenate(
+                    [label, np.zeros((pad_m,) + label.shape[1:],
+                                     label.dtype)])
+        else:
+            images, labels = [], []
+            for p in img_paths:
+                images.append(Image.open(p).convert("RGB"))
+            for _ in range(self.MASK_NUM - len(images)):
+                images.append(Image.fromarray(
+                    np.zeros_like(np.asarray(images[-1]))))
+            for p in mask_paths:
+                labels.append(Image.open(p))
+            for _ in range(self.MASK_NUM - len(labels)):
+                labels.append(Image.fromarray(
+                    np.zeros_like(np.asarray(labels[-1]))))
+
+            pack = [self.transform(im, lb) for im, lb in zip(images, labels)]
+            image = np.stack([p[0] for p in pack])       # [10, H, W, 3]
+            label = np.stack([p[1] for p in pack])       # [10, H, W]
 
         # one-hot class labels from per-frame mask uniques
         class_label = np.zeros((self.MASK_NUM, self.num_classes), np.int32)

@@ -26,15 +26,24 @@ import numpy as np
 
 
 def shard_indices(n: int, process_index: int, process_count: int,
-                  shuffle: bool, seed: int, drop_last: bool) -> List[int]:
+                  shuffle: bool, seed: int, drop_last: bool,
+                  pad: bool = True) -> List[int]:
     """DistributedSampler semantics (main_avss_resize.py:163-176):
-    per-epoch shuffle + contiguous shard per process, padded to even."""
+    per-epoch shuffle + contiguous shard per process, padded to even.
+
+    ``pad=False`` gives strided disjoint shards without duplication —
+    required for process-sharded *evaluation*, where the torch-style
+    duplicate padding would double-count items in the merged metrics.
+    """
     idx = list(range(n))
     if shuffle:
         random.Random(seed).shuffle(idx)
     if process_count > 1:
-        per = (n + process_count - 1) // process_count
-        idx = (idx * 2)[process_index * per:(process_index + 1) * per]
+        if pad:
+            per = (n + process_count - 1) // process_count
+            idx = (idx * 2)[process_index * per:(process_index + 1) * per]
+        else:
+            idx = idx[process_index::process_count]
     return idx
 
 
@@ -45,7 +54,7 @@ class DataLoader:
                  shuffle: bool = False, drop_last: bool = False,
                  num_workers: int = 8, seed: int = 0,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch_batches: int = 2):
+                 prefetch_batches: int = 2, pad_shards: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -57,6 +66,7 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch_batches = prefetch_batches
+        self.pad_shards = pad_shards
 
     def set_epoch(self, epoch: int):
         """sampler.set_epoch parity (main_avss_resize.py:214)."""
@@ -73,7 +83,8 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = shard_indices(len(self.dataset), self.process_index,
                                 self.process_count, self.shuffle,
-                                self.seed + self.epoch, self.drop_last)
+                                self.seed + self.epoch, self.drop_last,
+                                pad=self.pad_shards)
         batches: List[List[int]] = []
         for i in range(0, len(indices), self.batch_size):
             chunk = indices[i:i + self.batch_size]

@@ -92,6 +92,29 @@ def make_avss_eval_dataset(file_table, config, batch_videos: int = 1,
     return iterate()
 
 
+class TfEvalLoader:
+    """Re-iterable tf.data eval loader with the DataLoader interface the
+    runner's validation loop consumes (``--use_tfdata``). Each
+    ``__iter__`` builds a fresh tf.data iterator, so validation can run
+    every epoch gate."""
+
+    def __init__(self, dataset, config, batch_videos: int = 8):
+        import jax
+
+        table = avss_file_table(dataset)
+        # disjoint strided shard per process (merged in run_validation)
+        self.table = table[jax.process_index()::jax.process_count()]
+        self.config = config
+        self.batch_videos = batch_videos
+
+    def __len__(self):
+        return (len(self.table) + self.batch_videos - 1) // self.batch_videos
+
+    def __iter__(self):
+        return make_avss_eval_dataset(self.table, self.config,
+                                      batch_videos=self.batch_videos)
+
+
 def avss_file_table(dataset) -> list:
     """Build the path table from an :class:`cavp_tpu.data.avss.AVSSDataset`."""
     import os

@@ -145,5 +145,41 @@ class VisualAugmentation:
             return x, y, False
         return x, y
 
+    # --- native fast path (cavp_tpu/native/dataio.cpp) ---
+    def native_eval_batch(self, img_paths, mask_paths, n_threads: int = 4):
+        """Decode + resize + normalize a deterministic eval batch through
+        the native C++ core (threaded libjpeg/libpng + PIL-parity
+        resamplers), bypassing PIL/GIL entirely.
+
+        Applies exactly ``test_aug``'s math: with ``resize_flag`` the
+        target is the configured size; without it images/masks keep
+        their source dims (probed from the file headers — AVSBench-
+        Object images are natively uniform). Returns
+        (image [N,H,W,3] f32, label [M,h,w] i32) or None when the native
+        lib is unavailable, the mode is train (random augmentation), or
+        anything fails — callers fall back to the PIL path.
+        """
+        if self.mode == "train" or not img_paths or not mask_paths:
+            return None
+        from cavp_tpu import native
+        if not native.available():
+            return None
+        try:
+            if self.resize_flag:
+                ih = mh = self.image_size[0]
+                iw = mw = self.image_size[1]
+            else:
+                with Image.open(img_paths[0]) as im:  # header-only probe
+                    iw, ih = im.size
+                with Image.open(mask_paths[0]) as im:
+                    mw, mh = im.size
+            image = native.decode_image_batch(img_paths, ih, iw, self.mean,
+                                              self.std, n_threads=n_threads)
+            label = native.decode_mask_batch(mask_paths, mh, mw,
+                                             n_threads=n_threads)
+            return image, label
+        except Exception:
+            return None
+
     def __call__(self, x, y):
         return self.train_aug(x, y) if self.mode == "train" else self.test_aug(x, y)

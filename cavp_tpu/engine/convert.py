@@ -353,9 +353,13 @@ def import_torch_state_dict(
     return new_params, new_bs, report
 
 
-def export_torch_state_dict(params: Any, batch_stats: Any) -> Dict[str, np.ndarray]:
+def export_torch_state_dict(params: Any, batch_stats: Any,
+                            seg_model: str = "DeepLabV3Plus"
+                            ) -> Dict[str, np.ndarray]:
     """Inverse mapping: flax pytrees -> torch-named state dict (used by
-    round-trip tests and for exporting back to the reference tooling)."""
+    round-trip tests and for exporting back to the reference tooling).
+    ``seg_model`` selects the head/backbone naming grammar, mirroring
+    :func:`translate_torch_key`."""
     import flax
 
     flat_p = flax.traverse_util.flatten_dict(params, sep=".")
@@ -367,7 +371,7 @@ def export_torch_state_dict(params: Any, batch_stats: Any) -> Dict[str, np.ndarr
     consumed = set()
 
     def try_put(tkey: str):
-        path = translate_torch_key(tkey)
+        path = translate_torch_key(tkey, seg_model)
         if path in (None, "<drop>"):
             return
         mod_path, leaf = path.rsplit(".", 1)
@@ -391,12 +395,95 @@ def export_torch_state_dict(params: Any, batch_stats: Any) -> Dict[str, np.ndarr
             out[tkey] = np.asarray(flat_p[path])
             consumed.add(path)
 
-    for tkey in enumerate_torch_keys(flat_p, flat_b):
+    for tkey in enumerate_torch_keys(flat_p, flat_b, seg_model):
         try_put(tkey)
     return out
 
 
-def enumerate_torch_keys(flat_p, flat_b) -> List[str]:
+def _inv_hrnet_backbone(rest: str) -> Optional[str]:
+    """Inverse of :func:`_translate_hrnet_backbone` (flax module path
+    under ``backbone.`` -> torch module prefix)."""
+    if rest in ("conv1", "bn1", "conv2", "bn2"):
+        return f"backbone.{rest}"
+    m = re.match(r"layer1_(\d+)\.(.*)", rest)
+    if m:
+        tail = m.group(2).replace("downsample_conv", "downsample.0")
+        tail = tail.replace("downsample_bn", "downsample.1")
+        return f"backbone.layer1.{m.group(1)}.{tail}"
+    m = re.match(r"transition(\d)_(\d)_(conv|bn)$", rest)
+    if m:
+        t, j, cb = m.groups()
+        idx = "0" if cb == "conv" else "1"
+        # the new branch of each transition (j == t) nests one more
+        # Sequential in torch (hrnet.py transition construction)
+        if int(j) == int(t):
+            return f"backbone.transition{t}.{j}.0.{idx}"
+        return f"backbone.transition{t}.{j}.{idx}"
+    m = re.match(r"stage(\d)_module(\d+)\.branch(\d)_block(\d+)\.(.*)", rest)
+    if m:
+        s, mod, b, k, tail = m.groups()
+        tail = tail.replace("downsample_conv", "downsample.0")
+        tail = tail.replace("downsample_bn", "downsample.1")
+        return f"backbone.stage{s}.{mod}.branches.{b}.{k}.{tail}"
+    m = re.match(r"stage(\d)_module(\d+)\.fuse(\d)_(\d)_(conv|bn)(\d?)$", rest)
+    if m:
+        s, mod, i, j, cb, k = m.groups()
+        idx = "0" if cb == "conv" else "1"
+        base = f"backbone.stage{s}.{mod}.fuse_layers.{i}.{j}"
+        if k:  # downsample hop (j < i)
+            return f"{base}.{k}.{idx}"
+        return f"{base}.{idx}"
+    return None
+
+
+def _inv_ocr_segment(rest: str) -> Optional[str]:
+    """Inverse of :func:`_translate_ocr`."""
+    m = re.match(r"conv3x3\.(conv|bn)$", rest)
+    if m:
+        return f"segment.conv3x3.{0 if m.group(1) == 'conv' else 1}"
+    m = re.match(r"attention\.(f_pixel|f_object)_([01])\.(conv|bn)$", rest)
+    if m:
+        which, sub, cb = m.groups()
+        idx = {("0", "conv"): 0, ("0", "bn"): 1,
+               ("1", "conv"): 3, ("1", "bn"): 4}[(sub, cb)]
+        return (f"segment.ocr_distri_head.object_context_block."
+                f"{which}.{idx}")
+    m = re.match(r"attention\.(f_down|f_up)\.(conv|bn)$", rest)
+    if m:
+        which, cb = m.groups()
+        return (f"segment.ocr_distri_head.object_context_block."
+                f"{which}.{0 if cb == 'conv' else 1}")
+    m = re.match(r"bottleneck\.(conv|bn)$", rest)
+    if m:
+        return (f"segment.ocr_distri_head.conv_bn_dropout."
+                f"{0 if m.group(1) == 'conv' else 1}")
+    m = re.match(r"aux_conv\.(conv|bn)$", rest)
+    if m:
+        return f"segment.aux_head.{0 if m.group(1) == 'conv' else 1}"
+    if rest == "aux_cls":
+        return "segment.aux_head.3"
+    if rest == "classifier":
+        return "segment.upsample"
+    return None
+
+
+def _inv_pvt_backbone(rest: str) -> Optional[str]:
+    """Inverse of :func:`_translate_pvt`."""
+    m = re.match(r"patch_embed(\d)_(proj|norm)$", rest)
+    if m:
+        return f"backbone.patch_embed{m.group(1)}.{m.group(2)}"
+    m = re.match(r"block(\d)_(\d+)\.(.*)", rest)
+    if m:
+        i, j, tail = m.groups()
+        tail = tail.replace("mlp.dwconv", "mlp.dwconv.dwconv")
+        return f"backbone.block{i}.{j}.{tail}"
+    if re.match(r"norm(\d)$", rest):
+        return f"backbone.{rest}"
+    return None
+
+
+def enumerate_torch_keys(flat_p, flat_b,
+                         seg_model: str = "DeepLabV3Plus") -> List[str]:
     """Generate the torch key namespace corresponding to the flax leaves."""
     keys: List[str] = []
 
@@ -404,6 +491,10 @@ def enumerate_torch_keys(flat_p, flat_b) -> List[str]:
         # invert the per-module translations
         if mod.startswith("backbone."):
             rest = mod[len("backbone."):]
+            if seg_model == "PVT":
+                return _inv_pvt_backbone(rest)
+            if seg_model in ("HRNet", "OCR"):
+                return _inv_hrnet_backbone(rest)
             for t, f in _STEM_IDX.items():
                 if rest == f:
                     return f"backbone.backbone.conv1.{t}"
@@ -417,6 +508,17 @@ def enumerate_torch_keys(flat_p, flat_b) -> List[str]:
             m = re.match(r"layer(\d)_(\d+)$", rest)
             if m:
                 return f"backbone.backbone.layer{m.group(1)}.{m.group(2)}"
+            return None
+        if mod.startswith("segment.") and seg_model == "OCR":
+            return _inv_ocr_segment(mod[len("segment."):])
+        if mod.startswith("segment.") and seg_model == "HRNet":
+            rest = mod[len("segment."):]
+            if rest == "last_conv":
+                return "segment.upsample.last_conv.0"
+            if rest == "last_bn":
+                return "segment.upsample.last_conv.1"
+            if rest == "classifier":
+                return "segment.upsample.classifier"
             return None
         if mod.startswith("segment."):
             rest = mod[len("segment."):]

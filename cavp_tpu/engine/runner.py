@@ -123,7 +123,14 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     logger.info("Number of trainable parameters: %.4fM"
                 % count_params(state.params))
 
-    wandb_ = Tensorboard(config) if is_primary() else None
+    if is_primary():
+        from cavp_tpu.data.avss import get_v2_palette
+
+        wandb_ = Tensorboard(
+            config, palette=get_v2_palette(max(config.num_classes, 2)),
+            eval_list_path=getattr(config, "eval_list_path", ""))
+    else:
+        wandb_ = None
     engine = Engine(config, ckpt_dir)
 
     train_loader = DataLoader(
@@ -135,9 +142,23 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
         # fixed eval resolution -> batch several videos per device step
         # (the reference is pinned to batch-1 by its per-frame loop)
         eval_batch_size = 8
+    # process-sharded eval (disjoint strided shards; merged by a
+    # cross-process sum in run_validation) — the reference forfeits this
+    # by validating on rank 0 only (main_avss.py:199-202)
     test_loader = DataLoader(
         test_ds, eval_batch_size, eval_collate,
-        num_workers=config.num_workers) if test_ds is not None else None
+        num_workers=config.num_workers,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        pad_shards=False) if test_ds is not None else None
+    if (test_ds is not None and getattr(config, "use_tfdata", False)
+            and eval_collate is collate_eval_videos):
+        # tf.data's parallel C++ decode runtime for the eval input
+        # (--use_tfdata; the default thread-pool loader already uses the
+        # native decoder for deterministic eval items)
+        from cavp_tpu.data.tfdata import TfEvalLoader
+        test_loader = TfEvalLoader(test_ds, config,
+                                   batch_videos=eval_batch_size)
 
     if config.use_baseline:
         variant = "baseline"  # visual-only CE (main_avss_resize.py:92-104)
@@ -175,21 +196,24 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
             f"epoch {epoch}: {n} steps in {dt:.1f}s "
             f"({n * config.batch_size / max(dt, 1e-9):.2f} img/s)")
 
-        if is_primary() and test_loader is not None and (
-                epoch % 5 == 0 or epoch >= 50):
-            results = run_validation(config, model, state, test_loader, mesh)
-            logger.info(
-                "|ALL| mIoU: %.4f | acc: %.4f | fdr: %.4f | f_1: %.4f | "
-                "f_0.3: %.4f" % (results["miou"], results["acc"],
-                                 results["fdr"], results["f_1"],
-                                 results["f_0.3"]))
+        if test_loader is not None and (epoch % 5 == 0 or epoch >= 50):
+            # every process evaluates its shard; metrics merge inside
+            results = run_validation(config, model, state, test_loader, mesh,
+                                     wandb_=wandb_)
+            if is_primary():
+                logger.info(
+                    "|ALL| mIoU: %.4f | acc: %.4f | fdr: %.4f | f_1: %.4f | "
+                    "f_0.3: %.4f" % (results["miou"], results["acc"],
+                                     results["fdr"], results["f_1"],
+                                     results["f_0.3"]))
             if results["miou"] > best_iou:
                 best_iou = results["miou"]
-                if wandb_:
-                    for k, v in results.items():
-                        wandb_.set_summary(f"best_{k}", v)
-                if not config.ignore_ckpt:
-                    engine.save(state, "best_model")
+                if is_primary():
+                    if wandb_:
+                        for k, v in results.items():
+                            wandb_.set_summary(f"best_{k}", v)
+                    if not config.ignore_ckpt:
+                        engine.save(state, "best_model")
             if wandb_:
                 wandb_.upload_metrics(results, step=int(state.step))
     if wandb_:
@@ -235,25 +259,71 @@ def _make_mesh(config: Config):
     return create_mesh(num_devices=max(n, 1))
 
 
-def run_validation(config: Config, model, state, test_loader, mesh=None
-                   ) -> Dict[str, float]:
+def run_validation(config: Config, model, state, test_loader, mesh=None,
+                   wandb_=None) -> Dict[str, float]:
     """trainer.validation rebuilt: batched padded videos, carried device
-    metrics, one host sync at the end."""
+    metrics, one host sync at the end. ``wandb_`` (a Tensorboard with an
+    ``eval_list``) enables the reference's whitelisted per-video image
+    uploads (trainer_cavp_avss_image.py:59-60,449-463)."""
     mesh = mesh or _make_mesh(config)
     eval_step = jax.jit(make_eval_step(model, config))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     metrics = eval_metrics_init(config.num_classes)
     n_dev = mesh.devices.size
+    upload_names = set(wandb_.eval_list) if (
+        wandb_ is not None and wandb_.eval_list) else set()
     for batch in test_loader:
-        batch.pop("name", None)
+        names = batch.pop("name", None)
         batch.pop("img_label", None)
         batch.pop("frame_available", None)
+        if upload_names and names:
+            _upload_whitelisted(config, model, variables, batch, names,
+                                upload_names, wandb_)
         if batch["image"].ndim == 5:  # padded videos -> flat frames
             batch = flatten_video_batch(batch)
         batch = _pad_to_devices(batch, n_dev)
         flat = shard_batch(batch, mesh)
         metrics = eval_step(variables, metrics, flat)
+    # merge the per-process shard accumulators (all metric states are
+    # sums: MIoU inter/union histograms, FG confusion matrices) — the
+    # TPU-native all_gather_object merge (engine/utils.py:341-374)
+    from cavp_tpu.parallel import allsum_across_processes
+
+    metrics = jax.tree_util.tree_map(np.asarray, metrics)
+    metrics = allsum_across_processes(metrics)
     return {k: float(v) for k, v in eval_metrics_result(metrics).items()}
+
+
+def _upload_whitelisted(config, model, variables, batch, names,
+                        upload_names, wandb_):
+    """Per-video image upload for eval_list.txt uids: forward the
+    whitelisted videos' valid frames and log colorized GT/pred
+    (trainer_cavp_avss_image.py:449-463)."""
+    from cavp_tpu.engine.loops import preprocess_audio
+
+    sel = [i for i, n in enumerate(names) if n in upload_names]
+    if not sel:
+        return
+    for i in sel:
+        img = batch["image"][i]
+        wave = batch["waveform"][i]
+        gt = batch["pix_label"][i]
+        valid = batch.get("valid")
+        if img.ndim == 3:  # single-frame item
+            img, wave, gt = img[None], wave[None], gt[None]
+            keep = np.array([0])
+        else:
+            v = np.asarray(valid[i]) if valid is not None else np.ones(
+                img.shape[0])
+            keep = np.nonzero(v > 0)[0]
+        audio = preprocess_audio(jnp.asarray(wave[keep]),
+                                 n_frames=config.mel_frames,
+                                 spec_min=config.spec_min,
+                                 spec_max=config.spec_max)
+        logits, _, _ = model.apply(variables, jnp.asarray(img[keep]), audio,
+                                   True)
+        wandb_.upload_wandb_image(img[keep], gt[keep], np.asarray(logits),
+                                  None, status="val", caption=names[i])
 
 
 def _pad_to_devices(batch: Dict, n_dev: int) -> Dict:

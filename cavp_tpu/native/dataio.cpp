@@ -99,6 +99,10 @@ bool decode_png(FILE* f, ImageU8* out, bool as_gray) {
       png_set_rgb_to_gray_fixed(png, 1, -1, -1);
     }
     if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+    // 1/2/4-bit gray or palette (e.g. PIL mode '1' binary masks):
+    // unpack to one byte per pixel WITHOUT value scaling, so a 1-bit
+    // mask reads as {0,1} — matching np.asarray(PIL '1') semantics.
+    if (bit_depth < 8) png_set_packing(png);
   } else {
     if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
     if (color_type == PNG_COLOR_TYPE_GRAY ||

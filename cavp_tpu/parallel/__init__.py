@@ -1,4 +1,5 @@
 from cavp_tpu.parallel.dist import (
+    allsum_across_processes,
     barrier,
     initialize_distributed,
     is_primary,
@@ -15,6 +16,7 @@ from cavp_tpu.parallel.mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "allsum_across_processes",
     "create_mesh",
     "batch_sharding",
     "replicated",

@@ -9,22 +9,54 @@ no-op. Rank gating helpers mirror ``utils/ddp_utils.py:8-18``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
+# Environment markers of a real multi-worker deployment where
+# jax.distributed.initialize() can autodiscover its peers: Cloud TPU
+# pod metadata, explicit coordinators, or SLURM/OpenMPI launchers
+# (jax.distributed supports all of these cluster environments).
+_CLUSTER_ENV_KEYS = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "CLOUD_TPU_TASK_ID",
+    "SLURM_JOB_NUM_NODES",
+    "OMPI_COMM_WORLD_SIZE",
+)
 
-def initialize_distributed() -> None:
-    """Initialize the multi-host runtime when running on >1 process.
 
-    Safe to call unconditionally: skipped when JAX has no coordinator
-    configuration (single host).
+def _already_initialized() -> bool:
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Initialize the multi-host runtime whenever a cluster environment
+    is detectable (Cloud TPU pod metadata, an explicit coordinator
+    address, SLURM/MPI launch vars) — the reference's
+    ``init_process_group`` equivalent, without its hardcoded rendezvous.
+
+    Safe to call unconditionally: it is a no-op on a plain single host
+    (including the CPU test mesh) and when already initialized. Set
+    ``CAVP_NO_DISTRIBUTED=1`` to force single-process mode.
     """
-    import os
-
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
-            "JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    if os.environ.get("CAVP_NO_DISTRIBUTED"):
+        return
+    # NOTE: no jax.process_count()/jax.devices() here — touching the
+    # backend before jax.distributed.initialize() would pin
+    # single-process mode.
+    if _already_initialized():
+        return
+    if not any(os.environ.get(k) for k in _CLUSTER_ENV_KEYS):
+        return
+    jax.distributed.initialize(**kwargs)
 
 
 def process_index() -> int:
@@ -43,3 +75,18 @@ def barrier() -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("cavp_tpu_barrier")
+
+
+def allsum_across_processes(tree):
+    """Sum a metrics pytree over all processes (the TPU-native
+    ``dist.all_gather_object``+merge of ``engine/utils.py:341-374``):
+    all-gather the host-local values and reduce on host. No-op on a
+    single process."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    import numpy as np
+
+    gathered = multihost_utils.process_allgather(tree)
+    return jax.tree_util.tree_map(lambda x: np.sum(x, axis=0), gathered)

@@ -44,18 +44,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _place(x, sharding: NamedSharding):
+    """Single-host: plain device_put. Multi-host: the host array is this
+    process's *local* shard, so assemble the global array from the
+    per-process pieces (device_put would wrongly treat it as global)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch pytree with its leading axis sharded over data."""
+    """Place a host batch pytree with its leading axis sharded over data.
+    Under multi-host, each process contributes its local shard of the
+    global batch (the per-process loader shards handle disjointness)."""
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(lambda x: _place(x, sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: _place(x, sharding), tree)
 
 
 def pad_to_multiple(n: int, m: int) -> int:

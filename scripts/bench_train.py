@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Train-step throughput + fused-mel micro-benchmark on the real chip.
+
+VERDICT round-1 items 2/3: measure (not estimate) the train step at
+batch 16/32/64 with the vectorized SoundBank, derive MFU from the
+compiled HLO's own cost analysis, and decide the Pallas mel question
+with a number. Prints one JSON line per measurement so partial progress
+survives interrupts.
+
+Timing uses hard host transfers (float()/np.asarray) as the sync point;
+block_until_ready under-reports on the axon transport (CLAUDE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+V5E_BF16_PEAK = 197e12  # flops/s, one v5e chip
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def bench_mel():
+    from cavp_tpu.audio.mel import preprocess_audio
+
+    N = 160  # 2x the eval bench batch of 80 clips
+    rng = np.random.RandomState(0)
+    wave = jnp.asarray(rng.randn(N, 1, 16000).astype(np.float32))
+
+    for use_pallas in (False, True):
+        fn = jax.jit(lambda w: preprocess_audio(
+            w, n_frames=96, use_pallas=use_pallas))
+        out = fn(wave)
+        _ = np.asarray(out)  # compile + sync
+        iters = 50
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(wave)
+        _ = np.asarray(out)
+        dt = time.perf_counter() - t0
+        emit(metric="mel_frontend_us_per_clip",
+             variant="pallas" if use_pallas else "xla",
+             value=round(dt / iters / N * 1e6, 2), unit="us/clip",
+             clips_per_sec=round(N * iters / dt, 1))
+
+
+def bench_train(batch_sizes=(16, 32, 64)):
+    from cavp_tpu.config import get_config
+    from cavp_tpu.data.synthetic import synthetic_train_batch
+    from cavp_tpu.engine.loops import make_train_step
+    from cavp_tpu.engine.optim import make_optimizer
+    from cavp_tpu.engine.state import TrainState
+    from cavp_tpu.engine.runner import build_model
+    from cavp_tpu.models.soundbank import init_bank
+
+    for bs in batch_sizes:
+        config = get_config("avss").replace(
+            image_width=224, image_height=224, batch_size=bs,
+            compute_dtype="bfloat16")
+        model = build_model(config)
+        tx, _ = make_optimizer(config)
+
+        image = jnp.zeros((1, 224, 224, 3), jnp.float32)
+        audio = jnp.zeros((1, 96, 64, 1), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda r: model.init(r, image, audio, eval_mode=True),
+            jax.random.PRNGKey(0))
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        params = variables["params"]
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            sound_bank=init_bank(config.num_classes, bs,
+                                 config.audio_samples))
+
+        batch = {k: jnp.asarray(v) for k, v in
+                 synthetic_train_batch(config, bs).items()}
+        rng = jax.random.PRNGKey(0)
+        epoch = jnp.asarray(1)  # overwrite + bank path active
+
+        step = jax.jit(make_train_step(model, tx, config, variant="avss"))
+        t_c0 = time.perf_counter()
+        lowered = step.lower(state, batch, rng, epoch)
+        compiled = lowered.compile()
+        compile_s = time.perf_counter() - t_c0
+        flops = None
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = ca.get("flops")
+        except Exception:
+            pass
+
+        state, metrics = compiled(state, batch, rng, epoch)
+        _ = float(metrics["loss/loss"])  # sync
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = compiled(state, batch, rng, epoch)
+        _ = float(metrics["loss/loss"])
+        dt = time.perf_counter() - t0
+        step_s = dt / iters
+        out = dict(metric="avss224_train_img_per_sec_per_chip",
+                   batch_size=bs, value=round(bs / step_s, 1),
+                   unit="img/s/chip", step_ms=round(step_s * 1e3, 1),
+                   compile_s=round(compile_s, 1))
+        if flops:
+            out["hlo_tflops_per_step"] = round(flops / 1e12, 2)
+            out["mfu_pct"] = round(flops / step_s / V5E_BF16_PEAK * 100, 1)
+        emit(**out)
+
+
+if __name__ == "__main__":
+    emit(stage="mel")
+    bench_mel()
+    emit(stage="train")
+    bench_train()

@@ -12,12 +12,13 @@ from cavp_tpu.config import load_args_and_config
 from cavp_tpu.data import AVSSDataset, DataLoader, collate_eval_videos
 from cavp_tpu.engine import load_model_variables, make_optimizer
 from cavp_tpu.engine.runner import build_model, init_state, run_validation
-from cavp_tpu.parallel import create_mesh
+from cavp_tpu.parallel import create_mesh, initialize_distributed
 from cavp_tpu.utils import logger
 
 
 def main():
     config = load_args_and_config()
+    initialize_distributed()
     mesh = create_mesh()
     model = build_model(config)
     tx, _ = make_optimizer(config, 1)
@@ -36,7 +37,10 @@ def main():
     test_ds = AVSSDataset(config, "test")
     videos_per_batch = 8 if config.resize_flag else 1
     loader = DataLoader(test_ds, videos_per_batch, collate_eval_videos,
-                        num_workers=config.num_workers)
+                        num_workers=config.num_workers,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count(),
+                        pad_shards=False)
     results = run_validation(config, model, state, loader, mesh)
     logger.info(
         "|ALL| mIoU: %.4f | acc: %.4f | fdr: %.4f | f_1: %.4f | f_0.3: %.4f"

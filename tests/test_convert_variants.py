@@ -132,3 +132,46 @@ class TestPVTNames:
     def test_spot_translations(self):
         flat_p, flat_b = _flat_params("PVT")
         _check(PVT_CASES, "PVT", flat_p, flat_b)
+
+
+class TestExportRoundTrip:
+    """Full export -> import loop per seg variant (VERDICT r1 item 6):
+    every flax leaf must survive the torch namespace and come back
+    bit-identical, with nothing missing or unexpected."""
+
+    @pytest.mark.parametrize("seg_model", ["HRNet", "OCR", "PVT"])
+    def test_round_trip(self, seg_model):
+        import numpy as np
+
+        from cavp_tpu.engine.convert import (export_torch_state_dict,
+                                             import_torch_state_dict)
+        from cavp_tpu.models import CAVP
+
+        model = CAVP(num_classes=3, seg_model=seg_model, visual_backbone=50)
+        rng = jax.random.PRNGKey(1)
+        variables = model.init(rng, jnp.zeros((1, 64, 64, 3)),
+                               jnp.zeros((1, 96, 64, 1)), eval_mode=True)
+        params = jax.device_get(variables["params"])
+        bstats = jax.device_get(variables["batch_stats"])
+
+        sd = export_torch_state_dict(params, bstats, seg_model=seg_model)
+        assert sd, "empty export"
+
+        # import into a zeroed copy of the same tree
+        zeros_p = jax.tree_util.tree_map(lambda x: np.zeros_like(x), params)
+        zeros_b = jax.tree_util.tree_map(lambda x: np.zeros_like(x), bstats)
+        new_p, new_b, report = import_torch_state_dict(
+            sd, zeros_p, zeros_b, seg_model=seg_model)
+        assert report["unexpected"] == [], report["unexpected"][:10]
+        assert report["missing"] == [], report["missing"][:10]
+
+        flat_a = flax.traverse_util.flatten_dict(params, sep=".")
+        flat_c = flax.traverse_util.flatten_dict(new_p, sep=".")
+        for k in flat_a:
+            np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                          np.asarray(flat_c[k]), err_msg=k)
+        flat_a = flax.traverse_util.flatten_dict(bstats, sep=".")
+        flat_c = flax.traverse_util.flatten_dict(new_b, sep=".")
+        for k in flat_a:
+            np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                          np.asarray(flat_c[k]), err_msg=k)

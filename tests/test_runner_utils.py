@@ -36,3 +36,50 @@ class TestPadToDevices:
         batch = {"image": np.ones((8, 2, 2, 3)), "valid": np.ones((8,))}
         out = _pad_to_devices(batch, 8)
         assert out is batch
+
+
+class TestEvalListGating:
+    def test_whitelisted_videos_upload(self):
+        """run_validation uploads images only for eval_list uids
+        (trainer_cavp_avss_image.py:59-60,449-463)."""
+        import jax.numpy as jnp
+
+        from cavp_tpu.engine.optim import make_optimizer
+        from cavp_tpu.engine.runner import build_model, run_validation
+        from cavp_tpu.engine.state import create_train_state
+
+        cfg = get_config("avss").replace(
+            num_classes=4, image_width=32, image_height=32,
+            visual_backbone=18, compute_dtype="float32", gpus=1,
+            batch_size=2)
+        model = build_model(cfg)
+        tx, _ = make_optimizer(cfg)
+        sample = {"image": jnp.zeros((1, 32, 32, 3)),
+                  "audio": jnp.zeros((1, 96, 64, 1))}
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), sample,
+                                   cfg)
+
+        class FakeWandb:
+            eval_list = ["vid_a"]
+            calls = []
+
+            def upload_wandb_image(self, image, gt, logits, probs, **kw):
+                self.calls.append((kw.get("caption"), np.asarray(logits).shape))
+
+        B, T = 2, 3
+        batch = {
+            "image": np.random.RandomState(0).randn(B, T, 32, 32, 3
+                                                    ).astype(np.float32),
+            "waveform": np.zeros((B, T, 1, 16000), np.float32),
+            "pix_label": np.zeros((B, T, 32, 32), np.int32),
+            "valid": np.asarray([[1, 1, 0], [1, 1, 1]], np.float32),
+            "name": ["vid_a", "vid_b"],
+        }
+        fake = FakeWandb()
+        results = run_validation(cfg, model, state, [dict(batch)],
+                                 wandb_=fake)
+        assert len(fake.calls) == 1
+        caption, shape = fake.calls[0]
+        assert caption == "vid_a"
+        assert shape == (2, 32, 32, 4)  # only the 2 valid frames
+        assert np.isfinite(results["miou"])

@@ -1,0 +1,76 @@
+"""Worker for the real 2-process jax.distributed test (launched by
+tests/test_multiprocess.py). Each process gets 2 virtual CPU devices;
+jax.distributed runs the cross-process collectives over localhost gRPC.
+
+Exercises the actual multi-host code paths of the framework:
+initialize_distributed (explicit coordinator env), disjoint eval
+sharding (shard_indices pad=False), and the run_validation-style
+cross-process metric merge (allsum_across_processes).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+PROC_ID = int(sys.argv[1])
+COORD = sys.argv[2]
+
+
+def main():
+    os.environ["COORDINATOR_ADDRESS"] = COORD
+    from cavp_tpu.parallel import (allsum_across_processes, barrier,
+                                   create_mesh, initialize_distributed,
+                                   is_primary, shard_batch)
+    from cavp_tpu.data.pipeline import shard_indices
+
+    initialize_distributed(coordinator_address=COORD, num_processes=2,
+                           process_id=PROC_ID)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.process_index() == PROC_ID
+    assert len(jax.devices()) == 4, len(jax.devices())  # 2 local x 2 procs
+    assert is_primary() == (PROC_ID == 0)
+
+    # disjoint eval shards with no duplication
+    mine = shard_indices(10, PROC_ID, 2, shuffle=False, seed=0,
+                         drop_last=False, pad=False)
+    assert mine == list(range(PROC_ID, 10, 2)), mine
+
+    # cross-process global-batch computation: a jitted sum over a
+    # process-sharded batch must see all 4 shards
+    mesh = create_mesh()
+    local = np.full((2, 4), PROC_ID + 1.0, np.float32)  # 2 local rows
+    batch = shard_batch({"x": local}, mesh)
+
+    @jax.jit
+    def global_sum(b):
+        return jnp.sum(b["x"])
+
+    total = float(global_sum(batch))
+    # rows: proc0 contributes 2 rows of 1s, proc1 2 rows of 2s
+    assert abs(total - (2 * 4 * 1.0 + 2 * 4 * 2.0)) < 1e-5, total
+
+    # run_validation-style metric merge: per-process partial sums
+    partial = {"inter": np.asarray([PROC_ID + 1.0, 2.0]),
+               "union": np.asarray([4.0, PROC_ID * 10.0])}
+    merged = allsum_across_processes(partial)
+    assert abs(merged["inter"][0] - 3.0) < 1e-6, merged
+    assert abs(merged["union"][1] - 10.0) < 1e-6, merged
+
+    barrier()
+    print(f"proc {PROC_ID}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,13 +15,23 @@ def cross_entropy(
     labels: jnp.ndarray,
     ignore_index: int = 255,
 ) -> jnp.ndarray:
-    """logits [..., C] (channels-last), labels [...] int. Mean over valid."""
+    """logits [..., C] (channels-last), labels [...] int. Mean over valid.
+
+    Formulated as ``logsumexp - <x, one_hot>`` rather than
+    ``take_along_axis(log_softmax)``: the gather's backward is a scatter
+    into the full logit tensor, which serializes on TPU (measured 30 ms
+    per step at [32,224,224,71] — as long as the entire backbone
+    backward); the one-hot contraction fuses to elementwise compare ops
+    in both directions.
+    """
     num_classes = logits.shape[-1]
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    nll = jnp.where(valid, nll, 0.0)
+    x = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(x, axis=-1)
+    picked = jnp.sum(
+        x * jax.nn.one_hot(safe, num_classes, dtype=x.dtype), axis=-1)
+    nll = jnp.where(valid, lse - picked, 0.0)
     count = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(nll) / count
 

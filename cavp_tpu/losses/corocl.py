@@ -67,6 +67,10 @@ def corocl_loss(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     B, h, w, C = embeds_match.shape
     P = B * h * w
+    # at most num_classes-1 foreground classes can ever be eligible, and
+    # the slot list is derived from a num_classes-long sort — clamp the
+    # static budget so small-class setups (binary, fixtures) are valid
+    class_slots = min(class_slots, num_classes)
 
     gt_m = interpolate_nearest(gt_match, (h, w)).reshape(P)
     gt_s = interpolate_nearest(gt_shuffle, (h, w)).reshape(P)

@@ -21,11 +21,26 @@ _CLUSTER_ENV_KEYS = (
     "COORDINATOR_ADDRESS",
     "JAX_COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",
-    "TPU_WORKER_HOSTNAMES",
     "CLOUD_TPU_TASK_ID",
-    "SLURM_JOB_NUM_NODES",
-    "OMPI_COMM_WORLD_SIZE",
 )
+# launcher/pod vars that indicate a cluster only when the world size
+# they encode is > 1 (e.g. a single-host TPU VM also sets
+# TPU_WORKER_HOSTNAMES with one entry)
+_SIZED_ENV_KEYS = {
+    "TPU_WORKER_HOSTNAMES": lambda v: len(v.split(",")) > 1,
+    "SLURM_JOB_NUM_NODES": lambda v: v.strip().isdigit() and int(v) > 1,
+    "OMPI_COMM_WORLD_SIZE": lambda v: v.strip().isdigit() and int(v) > 1,
+}
+
+
+def _cluster_detected() -> bool:
+    if any(os.environ.get(k) for k in _CLUSTER_ENV_KEYS):
+        return True
+    for key, pred in _SIZED_ENV_KEYS.items():
+        v = os.environ.get(key)
+        if v and pred(v):
+            return True
+    return False
 
 
 def _already_initialized() -> bool:
@@ -54,8 +69,21 @@ def initialize_distributed(**kwargs) -> None:
     # single-process mode.
     if _already_initialized():
         return
-    if not any(os.environ.get(k) for k in _CLUSTER_ENV_KEYS):
+    if not (kwargs or _cluster_detected()):
         return
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            import logging
+
+            logging.getLogger("cavp_tpu").warning(
+                "cluster environment detected but the XLA backend is "
+                "already initialized; continuing single-process (call "
+                "initialize_distributed() before any JAX op to fix)")
+            return
+    except ImportError:
+        pass
     jax.distributed.initialize(**kwargs)
 
 

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Training-dynamics proof on the real chip (VERDICT r1 item 8): overfit
+a synthetic AVSS fixture through the FULL runner (host pipeline + jitted
+train step with CoroCL + SoundBank + schedules + validation) and record
+the mIoU curve. The fixture is learnable — each video's audio tone pins
+its class, the mask is a centered square — so a healthy objective drives
+train mIoU toward 1.
+
+Prints one JSON line per validation and a final summary line; exits 1 if
+the final mIoU < 0.9.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def main():
+    from cavp_tpu.config import get_config
+    from cavp_tpu.data.avss import AVSSDataset
+    from cavp_tpu.data.pipeline import collate_train_videos
+    from cavp_tpu.data.synthetic import make_synthetic_avss
+    from cavp_tpu.engine import runner as runner_mod
+    from cavp_tpu.engine.runner import run_training
+
+    tmp = tempfile.mkdtemp(prefix="overfit_")
+    base = make_synthetic_avss(tmp, num_videos=16, image_size=224,
+                               num_classes=6)
+
+    cfg = get_config("avss").replace(
+        image_width=224, image_height=224, num_classes=6, batch_size=8,
+        epochs=300, lr=3e-3, resize_flag=True, num_workers=8,
+        compute_dtype="bfloat16", ignore_ckpt=True, max_view=128,
+        class_slots=8, warm_up_epoch=5)
+
+    class Cached:
+        """Memoize decoded items: the 1-core tunnel host re-decoding
+        224^2 JPEGs every epoch would dominate the smoke's wall clock.
+        Frame selection + shuffle randomness stay live in the collate."""
+
+        def __init__(self, ds):
+            self.ds = ds
+            self.cache = {}
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            if i not in self.cache:
+                self.cache[i] = self.ds[i]
+            return self.cache[i]
+
+    def make_datasets(config):
+        train = Cached(AVSSDataset(config, "train", dir_base=base))
+        test = Cached(AVSSDataset(config, "train", dir_base=base))  # overfit
+        return train, test, collate_train_videos
+
+    curve = []
+    orig_validation = runner_mod.run_validation
+
+    def tracking_validation(*args, **kwargs):
+        results = orig_validation(*args, **kwargs)
+        curve.append(results["miou"])
+        print(json.dumps({"event": "validation", "n": len(curve),
+                          "miou": round(results["miou"], 4),
+                          "acc": round(results["acc"], 4)}), flush=True)
+        return results
+
+    runner_mod.run_validation = tracking_validation
+    t0 = time.time()
+    state, best = run_training(cfg, "avss", make_datasets,
+                               ckpt_dir=os.path.join(tmp, "ckpt"))
+    dt = time.time() - t0
+    print(json.dumps({"event": "done", "best_miou": round(best, 4),
+                      "curve": [round(c, 4) for c in curve],
+                      "steps": int(state.step),
+                      "wall_s": round(dt, 1)}), flush=True)
+    if best < 0.9:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

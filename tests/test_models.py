@@ -72,9 +72,27 @@ class TestCAVP:
         (logits, fused, pack), mutated = model.apply(
             variables, image, audio2b, eval_mode=False,
             mutable=["batch_stats"])
-        assert logits.shape == (4, 64, 64, 7)
+        # fused (the CoroCL input) carries matched ‖ shuffled [2B];
+        # logits only the matched half (cls_matched_only default — the
+        # shuffled half's head output has exactly zero gradient in the
+        # reference, trainer_cavp_avss_image.py:204)
+        assert logits.shape == (2, 64, 64, 7)
         assert fused.shape == (4, 16, 16, 112)
         assert "batch_stats" in mutated
+
+    def test_train_full_head_variant(self, small_cavp):
+        """cls_matched_only=False restores the reference's 2B head."""
+        from cavp_tpu.models import CAVP
+
+        model, variables = small_cavp
+        ref_model = CAVP(num_classes=7, seg_model="DeepLabV3Plus",
+                         visual_backbone=18, cls_matched_only=False)
+        (logits, fused, _), _ = ref_model.apply(
+            variables, jnp.zeros((2, 64, 64, 3)),
+            jnp.zeros((4, 96, 64, 1)), eval_mode=False,
+            mutable=["batch_stats"])
+        assert logits.shape == (4, 64, 64, 7)
+        assert fused.shape == (4, 16, 16, 112)
 
     def test_batchnorm_running_stats_update(self, small_cavp):
         model, variables = small_cavp

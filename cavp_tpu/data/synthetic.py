@@ -45,14 +45,24 @@ def make_synthetic_avss(root: str, num_videos: int = 4, image_size: int = 64,
             n_frames = 10 if subset == "v2" else 5
             n_masks = 10 if subset == "v2" else 5
             cls = 1 + v % (num_classes - 1)
+            s = image_size // 4
             for i in range(n_frames):
                 img = rng.randint(0, 255, (image_size, image_size, 3),
                                   dtype=np.uint8)
+                # paint the sounding object: a class-tinted textured
+                # square where the mask is — without it the mask is only
+                # predictable from absolute position, which conv nets
+                # can't express, and training tests can't converge
+                tint = np.array([(cls * 53) % 200 + 55,
+                                 (cls * 101) % 200 + 55,
+                                 (cls * 179) % 200 + 55], np.uint8)
+                region = img[s:3 * s, s:3 * s].astype(np.int32)
+                img[s:3 * s, s:3 * s] = (region // 4 + tint).clip(
+                    0, 255).astype(np.uint8)
                 Image.fromarray(img).save(
                     os.path.join(vdir, "frames", f"{i}.jpg"))
             for i in range(n_masks):
                 mask = np.zeros((image_size, image_size), np.uint8)
-                s = image_size // 4
                 mask[s:3 * s, s:3 * s] = cls
                 Image.fromarray(mask, mode="L").save(
                     os.path.join(vdir, "labels_semantic", f"{i}.png"))

@@ -55,3 +55,21 @@ class TestFlags:
         cfg = load_args_and_config(["--setup", "avss", "--debug"])
         assert cfg.wandb_mode == "disabled"
         assert cfg.experiment_name == "dummpy_test"
+
+    def test_root_dataset_dir_only_when_explicit(self):
+        from cavp_tpu.config import load_args_and_config
+
+        cfg = load_args_and_config(["--setup", "avss"])
+        assert cfg.root_dataset_dir  # setup default survives None flag
+        cfg = load_args_and_config(
+            ["--setup", "avss", "--root_dataset_dir", "/data/x"])
+        assert cfg.root_dataset_dir == "/data/x"
+
+    def test_new_feature_flags(self):
+        from cavp_tpu.config import load_args_and_config
+
+        cfg = load_args_and_config(
+            ["--setup", "avss", "--use_tfdata", "--eval_list_path",
+             "/tmp/el.txt"])
+        assert cfg.use_tfdata is True
+        assert cfg.eval_list_path == "/tmp/el.txt"

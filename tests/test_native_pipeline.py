@@ -56,6 +56,26 @@ class TestAVSSNative:
             assert np.percentile(diff, 95) < 0.12, np.percentile(diff, 95)
             np.testing.assert_array_equal(a["waveform"], b["waveform"])
 
+    def test_native_branch_actually_taken(self, avss_root):
+        """Guard against vacuous parity: the eval item must route through
+        native.decode_image_batch (not silently fall back to PIL)."""
+        cfg = get_config("avss").replace(
+            image_width=32, image_height=32, num_classes=6, resize_flag=True)
+        ds = AVSSDataset(cfg, "test", dir_base=avss_root)
+        calls = []
+        orig = native.decode_image_batch
+
+        def counting(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        native.decode_image_batch = counting
+        try:
+            _ = ds[0]
+        finally:
+            native.decode_image_batch = orig
+        assert calls, "native decode was not used on the eval path"
+
     def test_train_item_uses_pil_augmentation(self, avss_root):
         """Train mode must NOT take the deterministic native path."""
         cfg = get_config("avss").replace(

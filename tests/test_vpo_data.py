@@ -103,3 +103,38 @@ class TestVPODataset:
         cfg = self._cfg(root)
         ds = VPODataset(cfg, "test", df, stereo=True, multi_source=False)
         assert len(ds) == 1  # the val row (split renamed to test)
+
+
+class TestVPOEndToEnd:
+    def test_runner_train_and_validate_stereo(self, vpo_root):
+        """Full runner E2E on the VPO fixture (mirrors main_vpo_stereo):
+        stereo panning + per-frame eval with collate_eval_frames."""
+        import tempfile
+
+        import jax
+        import numpy as np
+
+        from cavp_tpu.data.pipeline import (collate_eval_frames,
+                                            collate_train_frames)
+        from cavp_tpu.engine.runner import run_training
+
+        root, df = vpo_root
+        cfg = get_config("vpo_ss").replace(
+            root_dataset_dir=root, image_width=48, image_height=48,
+            batch_size=2, epochs=1, num_workers=2, max_view=8,
+            class_slots=2, compute_dtype="float32", visual_backbone=18,
+            in_plane=2, ignore_ckpt=True, resize_flag=True)
+
+        def make_datasets(config):
+            train = VPODataset(config, "train", df, stereo=True,
+                               multi_source=False)
+            test = VPODataset(config, "test", df, stereo=True,
+                              multi_source=False)
+            return train, test, collate_train_frames
+
+        state, best = run_training(
+            cfg, "vpo_stereo", make_datasets,
+            ckpt_dir=tempfile.mkdtemp(), max_steps_per_epoch=2,
+            eval_collate=collate_eval_frames, eval_batch_size=2)
+        assert np.isfinite(best)
+        assert int(state.step) == 2

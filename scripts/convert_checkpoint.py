@@ -1,9 +1,15 @@
 #!/usr/bin/env python
-"""Convert a torch CAVP checkpoint (.pth) to an orbax checkpoint.
+"""Convert CAVP checkpoints between torch (.pth) and orbax formats.
 
-Usage:
+Import (torch -> orbax):
     python scripts/convert_checkpoint.py --setup avss --resize_flag \
         --ckpt_path ./avss_224.pth --out ./converted/avss_224
+
+Export (orbax -> reference-format .pth, loadable by the reference's
+``torch.load(...)['model']`` tooling):
+    python scripts/convert_checkpoint.py --setup avss --resize_flag \
+        --ckpt_path ./converted/avss_224 --out ./avss_224_export.pth \
+        --to_torch
 
 The conversion is strict: any unconverted torch key or unfilled flax
 leaf is reported and (unless --allow_partial) fails the run — the
@@ -30,6 +36,8 @@ def main():
     extra = argparse.ArgumentParser(add_help=False)
     extra.add_argument("--out", required=True)
     extra.add_argument("--allow_partial", action="store_true")
+    extra.add_argument("--to_torch", action="store_true",
+                       help="export an orbax checkpoint to a torch .pth")
     extra_args, rest = extra.parse_known_args()
 
     config = load_args_and_config(rest)
@@ -37,6 +45,25 @@ def main():
     model = build_model(config)
     tx, _ = make_optimizer(config, 1)
     state = init_state(config, model, tx, mesh)
+
+    if extra_args.to_torch:
+        import torch
+
+        from cavp_tpu.engine.checkpoint import restore_checkpoint
+        from cavp_tpu.engine.convert import export_torch_state_dict
+
+        payload = restore_checkpoint(config.ckpt_path)
+        sd = export_torch_state_dict(payload["params"],
+                                     payload["batch_stats"],
+                                     seg_model=config.seg_model)
+        tsd = {k: torch.from_numpy(__import__("numpy").ascontiguousarray(v))
+               for k, v in sd.items()}
+        torch.save({"model": tsd, "epoch": int(payload.get("step", 0)),
+                    "iteration": int(payload.get("step", 0))},
+                   extra_args.out)
+        logger.info("exported %d torch keys -> %s"
+                    % (len(tsd), extra_args.out))
+        return
 
     params, batch_stats, report = load_model_variables(
         config.ckpt_path, state.params, state.batch_stats,

@@ -40,7 +40,7 @@ def main():
 
     cfg = get_config("avss").replace(
         image_width=224, image_height=224, num_classes=6, batch_size=8,
-        epochs=300, lr=3e-3, resize_flag=True, num_workers=8,
+        epochs=90, lr=3e-3, resize_flag=True, num_workers=8,
         compute_dtype="bfloat16", ignore_ckpt=True, max_view=128,
         class_slots=8, warm_up_epoch=5)
 

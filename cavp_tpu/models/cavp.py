@@ -69,6 +69,7 @@ class CAVP(nn.Module):
     last_three_dilation_stride: Sequence[bool] = (False, False, False)
     audio_backbone: str = "vgg"
     in_plane: int = 1
+    pvt_variant: str = "b5"  # CAVP uses pvt_v2_b5 (cavp_model.py:108)
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     # Train-path head economy: the reference runs the classifier head +
@@ -120,8 +121,8 @@ class CAVP(nn.Module):
             self.segment = OCRHead(num_classes=self.num_classes,
                                    axis_name=self.axis_name, dtype=self.dtype)
         elif self.seg_model == "PVT":
-            from cavp_tpu.models.pvt import PVTv2B5
-            self.backbone = PVTv2B5(dtype=self.dtype)
+            from cavp_tpu.models.pvt import PVTv2
+            self.backbone = PVTv2(variant=self.pvt_variant, dtype=self.dtype)
             self.segment = DeepLabV3Plus(num_classes=self.num_classes,
                                          aspp_out_plane=64,
                                          axis_name=self.axis_name,

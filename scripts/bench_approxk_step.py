@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Full train step (batch 32) with lax.top_k vs lax.approx_max_k inside
+CoroCL's sampler — the in-step number is the one that matters (the
+micro-bench is dominated by grad D2H over the tunnel)."""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+BS = 32
+
+
+def main():
+    from cavp_tpu.config import get_config
+    from cavp_tpu.data.synthetic import synthetic_train_batch
+    from cavp_tpu.engine import loops
+    from cavp_tpu.engine.optim import make_optimizer
+    from cavp_tpu.engine.runner import build_model
+    from cavp_tpu.engine.state import TrainState
+    from cavp_tpu.losses import corocl
+    from cavp_tpu.models.soundbank import init_bank
+
+    config = get_config("avss").replace(
+        image_width=224, image_height=224, batch_size=BS,
+        compute_dtype="bfloat16")
+    model = build_model(config)
+    tx, _ = make_optimizer(config)
+    image = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    audio = jnp.zeros((1, 96, 64, 1), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, image, audio, eval_mode=True),
+        jax.random.PRNGKey(0))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        sound_bank=init_bank(config.num_classes, BS, config.audio_samples))
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_train_batch(config, BS).items()}
+    rng, epoch = jax.random.PRNGKey(0), jnp.asarray(1)
+
+    def measure(tag):
+        step = jax.jit(loops.make_train_step(model, tx, config,
+                                             variant="avss"))
+        c = step.lower(state, batch, rng, epoch).compile()
+        s, m = c(state, batch, rng, epoch)
+        _ = float(m["loss/loss"])
+        t0 = time.perf_counter()
+        s2 = state
+        for _ in range(10):
+            s2, m = c(s2, batch, rng, epoch)
+        _ = float(m["loss/loss"])
+        dt = (time.perf_counter() - t0) / 10
+        print(json.dumps({"variant": tag, "step_ms": round(dt * 1e3, 1),
+                          "img_per_s": round(BS / dt, 1)}), flush=True)
+
+    measure("topk")
+
+    orig = corocl._sample_group
+
+    def approx_sample(key, scores_mask, num_samples):
+        p = scores_mask.shape[0]
+        scores = jax.random.uniform(key, (p,))
+        scores = jnp.where(scores_mask, scores, corocl._NEG_INF)
+        top, idx = jax.lax.approx_max_k(scores, num_samples)
+        return idx, top > corocl._NEG_INF / 2
+
+    corocl._sample_group = approx_sample
+    try:
+        measure("approx_max_k")
+    finally:
+        corocl._sample_group = orig
+
+
+if __name__ == "__main__":
+    main()

@@ -83,3 +83,38 @@ class TestEvalListGating:
         assert caption == "vid_a"
         assert shape == (2, 32, 32, 4)  # only the 2 valid frames
         assert np.isfinite(results["miou"])
+
+
+class TestProfilerHook:
+    def test_profile_dir_captures_trace(self, tmp_path):
+        """runner.run_training(profile_dir=...) wraps steps 10-15 in a
+        jax.profiler trace (SURVEY §5.1). The axon transport hangs trace
+        capture on the tunneled chip (ROADMAP), but the hook itself is
+        exercised here on CPU and must produce trace artifacts."""
+        import os
+        import tempfile
+
+        from cavp_tpu.data.avss import AVSSDataset
+        from cavp_tpu.data.pipeline import collate_train_videos
+        from cavp_tpu.data.synthetic import make_synthetic_avss
+        from cavp_tpu.engine.runner import run_training
+
+        base = make_synthetic_avss(tempfile.mkdtemp(), num_videos=18,
+                                   image_size=32, num_classes=4)
+        cfg = get_config("avss").replace(
+            image_width=32, image_height=32, num_classes=4, batch_size=1,
+            epochs=1, max_view=8, class_slots=2, num_workers=2,
+            compute_dtype="float32", visual_backbone=18, ignore_ckpt=True)
+
+        def make_datasets(config):
+            return (AVSSDataset(config, "train", dir_base=base), None,
+                    collate_train_videos)
+
+        prof = str(tmp_path / "trace")
+        run_training(cfg, "avss", make_datasets,
+                     ckpt_dir=str(tmp_path / "ckpt"), profile_dir=prof)
+        found = []
+        for root, _, files in os.walk(prof):
+            found += [f for f in files if f.endswith((".pb", ".json.gz",
+                                                      ".trace.json.gz"))]
+        assert found, f"no trace artifacts under {prof}"

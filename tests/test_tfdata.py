@@ -49,3 +49,31 @@ class TestTFData:
             batches = list(loader)
             assert len(batches) == 2
             assert batches[0]["image"].shape[1:] == (10, 48, 48, 3)
+
+    def test_runner_validation_via_tfdata(self):
+        """run_training with use_tfdata=True swaps the eval loader for
+        the tf.data pipeline and still produces finite metrics."""
+        import tempfile
+
+        import numpy as np
+
+        from cavp_tpu.data.pipeline import collate_train_videos
+        from cavp_tpu.engine.runner import run_training
+
+        base = make_synthetic_avss(tempfile.mkdtemp(), num_videos=4,
+                                   image_size=48, num_classes=6)
+        cfg = get_config("avss").replace(
+            image_width=48, image_height=48, num_classes=6, batch_size=2,
+            epochs=1, max_view=8, class_slots=2, num_workers=2,
+            compute_dtype="float32", visual_backbone=18, ignore_ckpt=True,
+            resize_flag=True, use_tfdata=True)
+
+        def make_datasets(config):
+            train = AVSSDataset(config, "train", dir_base=base)
+            test = AVSSDataset(config, "test", dir_base=base)
+            return train, test, collate_train_videos
+
+        state, best = run_training(cfg, "avss", make_datasets,
+                                   ckpt_dir=tempfile.mkdtemp(),
+                                   max_steps_per_epoch=2)
+        assert np.isfinite(best)

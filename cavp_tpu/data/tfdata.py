@@ -62,9 +62,14 @@ def make_avss_eval_dataset(file_table, config, batch_videos: int = 1,
             return img
 
         def decode_mask(p):
-            m = tf.io.decode_png(tf.io.read_file(p), channels=1)
-            m = tf.image.resize(m, (H, W), method="nearest")
-            return tf.cast(m[..., 0], tf.int32)
+            # NOT tf.io.decode_png: TF expands palette PNGs to RGB (and
+            # channels=1 takes luminance), destroying the class indices
+            # the AVSS labels encode as palette entries. Route through
+            # the native decoder (raw palette indices + nearest resize),
+            # PIL fallback.
+            m = tf.py_function(_decode_mask_np, [p], tf.int32)
+            m.set_shape([H, W])
+            return m
 
         imgs = tf.map_fn(decode_frame, frame_paths, fn_output_signature=tf.float32)
         ms = tf.map_fn(decode_mask, mask_paths, fn_output_signature=tf.int32)
@@ -78,6 +83,18 @@ def make_avss_eval_dataset(file_table, config, batch_videos: int = 1,
 
         w = load_audio(path.numpy().decode(), 10.0)
         return w.reshape(10, -1).astype(np.float32)
+
+    def _decode_mask_np(path):
+        p = path.numpy().decode()
+        from cavp_tpu import native
+
+        if native.available():
+            return native.decode_mask(p, H, W)
+        from PIL import Image
+
+        img = Image.open(p)  # palette/gray indices stay raw
+        img = img.resize((W, H), Image.NEAREST)
+        return np.asarray(img).astype(np.int32)
 
     ds = tf.data.Dataset.from_tensor_slices((frames, masks, wavs, valid))
     ds = ds.map(_decode_video, num_parallel_calls=tf.data.AUTOTUNE)

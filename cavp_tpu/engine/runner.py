@@ -156,9 +156,16 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
         # tf.data's parallel C++ decode runtime for the eval input
         # (--use_tfdata; the default thread-pool loader already uses the
         # native decoder for deterministic eval items)
-        from cavp_tpu.data.tfdata import TfEvalLoader
-        test_loader = TfEvalLoader(test_ds, config,
-                                   batch_videos=eval_batch_size)
+        if config.resize_flag:
+            from cavp_tpu.data.tfdata import TfEvalLoader
+            test_loader = TfEvalLoader(test_ds, config,
+                                       batch_videos=eval_batch_size)
+        else:
+            # the tf pipeline always resizes to the configured size;
+            # native-resolution eval must keep the thread-pool loader
+            logger.warning("--use_tfdata requires --resize_flag "
+                           "(tf pipeline evaluates at the resized "
+                           "resolution); using the thread-pool loader")
 
     if config.use_baseline:
         variant = "baseline"  # visual-only CE (main_avss_resize.py:92-104)
@@ -264,20 +271,36 @@ def run_validation(config: Config, model, state, test_loader, mesh=None,
     """trainer.validation rebuilt: batched padded videos, carried device
     metrics, one host sync at the end. ``wandb_`` (a Tensorboard with an
     ``eval_list``) enables the reference's whitelisted per-video image
-    uploads (trainer_cavp_avss_image.py:59-60,449-463)."""
-    mesh = mesh or _make_mesh(config)
-    eval_step = jax.jit(make_eval_step(model, config))
+    uploads (trainer_cavp_avss_image.py:59-60,449-463).
+
+    Multi-host: evaluation runs on each process's LOCAL device mesh over
+    its disjoint shard — no cross-process lockstep, so unequal shard
+    sizes/batch counts are fine — and the metric sums merge once at the
+    end. (A global-mesh eval would deadlock the moment shards are
+    uneven: every jitted call is a collective all processes must join.)
+    """
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if jax.process_count() > 1:
+        from cavp_tpu.parallel import local_mesh, localize_replicated
+
+        mesh = local_mesh()
+        variables = localize_replicated(variables)
+    else:
+        mesh = mesh or _make_mesh(config)
+    eval_step = jax.jit(make_eval_step(model, config))
     metrics = eval_metrics_init(config.num_classes)
     n_dev = mesh.devices.size
     upload_names = set(wandb_.eval_list) if (
         wandb_ is not None and wandb_.eval_list) else set()
+    upload_fwd = jax.jit(
+        lambda v, img, aud: model.apply(v, img, aud, True)[0]
+    ) if upload_names else None
     for batch in test_loader:
         names = batch.pop("name", None)
         batch.pop("img_label", None)
         batch.pop("frame_available", None)
         if upload_names and names:
-            _upload_whitelisted(config, model, variables, batch, names,
+            _upload_whitelisted(config, upload_fwd, variables, batch, names,
                                 upload_names, wandb_)
         if batch["image"].ndim == 5:  # padded videos -> flat frames
             batch = flatten_video_batch(batch)
@@ -294,11 +317,12 @@ def run_validation(config: Config, model, state, test_loader, mesh=None,
     return {k: float(v) for k, v in eval_metrics_result(metrics).items()}
 
 
-def _upload_whitelisted(config, model, variables, batch, names,
+def _upload_whitelisted(config, upload_fwd, variables, batch, names,
                         upload_names, wandb_):
     """Per-video image upload for eval_list.txt uids: forward the
-    whitelisted videos' valid frames and log colorized GT/pred
-    (trainer_cavp_avss_image.py:449-463)."""
+    whitelisted video's frames (static [T] shape — one compile, cached
+    across videos and validation gates) and log colorized GT/pred for
+    the valid ones (trainer_cavp_avss_image.py:449-463)."""
     from cavp_tpu.engine.loops import preprocess_audio
 
     sel = [i for i, n in enumerate(names) if n in upload_names]
@@ -316,13 +340,12 @@ def _upload_whitelisted(config, model, variables, batch, names,
             v = np.asarray(valid[i]) if valid is not None else np.ones(
                 img.shape[0])
             keep = np.nonzero(v > 0)[0]
-        audio = preprocess_audio(jnp.asarray(wave[keep]),
+        audio = preprocess_audio(jnp.asarray(wave),
                                  n_frames=config.mel_frames,
                                  spec_min=config.spec_min,
                                  spec_max=config.spec_max)
-        logits, _, _ = model.apply(variables, jnp.asarray(img[keep]), audio,
-                                   True)
-        wandb_.upload_wandb_image(img[keep], gt[keep], np.asarray(logits),
+        logits = np.asarray(upload_fwd(variables, jnp.asarray(img), audio))
+        wandb_.upload_wandb_image(img[keep], gt[keep], logits[keep],
                                   None, status="val", caption=names[i])
 
 

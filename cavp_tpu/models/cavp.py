@@ -74,12 +74,18 @@ class CAVP(nn.Module):
     dtype: Any = jnp.float32
     # Train-path head economy: the reference runs the classifier head +
     # full-res upsample on the duplicated [2B] batch but the trainer
-    # zeroes the shuffled half's contribution
+    # zeroes the shuffled half's *loss* contribution
     # (trainer_cavp_avss_image.py:204 ``output_cat[:B] +
-    # output_cat[B:] * 0.0`` — exactly zero gradient), so computing the
-    # head on the matched half only is gradient-identical and saves
-    # ~16% of train FLOPs. Only the head BN's batch statistics see B
-    # instead of 2B samples. False restores bit-level reference behavior.
+    # output_cat[B:] * 0.0``), so computing the head on the matched half
+    # only saves ~16% of train FLOPs (+13% img/s at batch 64). It is NOT
+    # bit-identical: the head's train-mode BatchNorm statistics are then
+    # computed over B matched samples instead of the 2B matched‖shuffled
+    # mix, which changes the matched half's normalization (and hence
+    # values/gradients) slightly — a deliberate, documented
+    # training-dynamics deviation (arguably cleaner: head BN stats stop
+    # being polluted by the synthetic mismatch distribution). The eval
+    # path is unaffected either way. False restores exact reference
+    # behavior.
     cls_matched_only: bool = True
 
     @property

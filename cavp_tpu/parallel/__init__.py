@@ -9,6 +9,8 @@ from cavp_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
     create_mesh,
+    local_mesh,
+    localize_replicated,
     replicate,
     replicated,
     shard_batch,
@@ -24,6 +26,8 @@ __all__ = [
     "replicate",
     "initialize_distributed",
     "is_primary",
+    "local_mesh",
+    "localize_replicated",
     "process_index",
     "barrier",
 ]

@@ -35,6 +35,15 @@ def create_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def local_mesh() -> Mesh:
+    """Mesh over this process's addressable devices only. Used for
+    evaluation under multi-host: each process evaluates its own disjoint
+    shard with NO cross-process lockstep (unequal shard sizes are fine),
+    and the metric sums merge once at the end — torch's
+    DistributedSampler-padding problem never arises."""
+    return Mesh(np.asarray(jax.local_devices()), (DATA_AXIS,))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data mesh."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -45,10 +54,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def _place(x, sharding: NamedSharding):
-    """Single-host: plain device_put. Multi-host: the host array is this
+    """Fully-addressable mesh (single host, or a process-local mesh):
+    plain device_put. Mesh spanning processes: the host array is this
     process's *local* shard, so assemble the global array from the
     per-process pieces (device_put would wrongly treat it as global)."""
-    if jax.process_count() == 1:
+    if sharding.is_fully_addressable:
         return jax.device_put(x, sharding)
     return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
@@ -65,6 +75,20 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: _place(x, sharding), tree)
+
+
+def localize_replicated(tree):
+    """Rebuild fully-replicated (possibly global-mesh) arrays as
+    local-mesh replicated arrays, without host round-trips: each process
+    already holds a complete replica on its own devices."""
+    sharding = replicated(local_mesh())
+
+    def conv(x):
+        if isinstance(x, jax.Array) and not x.sharding.is_fully_addressable:
+            x = x.addressable_data(0)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(conv, tree)
 
 
 def pad_to_multiple(n: int, m: int) -> int:

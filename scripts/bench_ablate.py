@@ -35,21 +35,9 @@ def emit(**kw):
 
 
 def make_state(model, tx, config):
-    from cavp_tpu.engine.state import TrainState
-    from cavp_tpu.models.soundbank import init_bank
+    from _bench_util import zero_train_state
 
-    image = jnp.zeros((1, 224, 224, 3), jnp.float32)
-    audio = jnp.zeros((1, 96, 64, 1), jnp.float32)
-    shapes = jax.eval_shape(
-        lambda r: model.init(r, image, audio, eval_mode=True),
-        jax.random.PRNGKey(0))
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    return TrainState(
-        step=jnp.zeros((), jnp.int32), params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]),
-        sound_bank=init_bank(config.num_classes, BS, config.audio_samples))
+    return zero_train_state(model, tx, config, BS)
 
 
 def time_step(compiled, *args, sync):

@@ -25,27 +25,16 @@ def main():
     from cavp_tpu.engine import loops
     from cavp_tpu.engine.optim import make_optimizer
     from cavp_tpu.engine.runner import build_model
-    from cavp_tpu.engine.state import TrainState
     from cavp_tpu.losses import corocl
-    from cavp_tpu.models.soundbank import init_bank
 
     config = get_config("avss").replace(
         image_width=224, image_height=224, batch_size=BS,
         compute_dtype="bfloat16")
     model = build_model(config)
     tx, _ = make_optimizer(config)
-    image = jnp.zeros((1, 224, 224, 3), jnp.float32)
-    audio = jnp.zeros((1, 96, 64, 1), jnp.float32)
-    shapes = jax.eval_shape(
-        lambda r: model.init(r, image, audio, eval_mode=True),
-        jax.random.PRNGKey(0))
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32), params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]),
-        sound_bank=init_bank(config.num_classes, BS, config.audio_samples))
+    from _bench_util import zero_train_state
+
+    state = zero_train_state(model, tx, config, BS)
     batch = {k: jnp.asarray(v) for k, v in
              synthetic_train_batch(config, BS).items()}
     rng, epoch = jax.random.PRNGKey(0), jnp.asarray(1)

@@ -61,9 +61,7 @@ def bench_train(batch_sizes=(16, 32, 64)):
     from cavp_tpu.data.synthetic import synthetic_train_batch
     from cavp_tpu.engine.loops import make_train_step
     from cavp_tpu.engine.optim import make_optimizer
-    from cavp_tpu.engine.state import TrainState
     from cavp_tpu.engine.runner import build_model
-    from cavp_tpu.models.soundbank import init_bank
 
     for bs in batch_sizes:
         config = get_config("avss").replace(
@@ -72,20 +70,9 @@ def bench_train(batch_sizes=(16, 32, 64)):
         model = build_model(config)
         tx, _ = make_optimizer(config)
 
-        image = jnp.zeros((1, 224, 224, 3), jnp.float32)
-        audio = jnp.zeros((1, 96, 64, 1), jnp.float32)
-        shapes = jax.eval_shape(
-            lambda r: model.init(r, image, audio, eval_mode=True),
-            jax.random.PRNGKey(0))
-        variables = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-        params = variables["params"]
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32), params=params,
-            batch_stats=variables.get("batch_stats", {}),
-            opt_state=tx.init(params),
-            sound_bank=init_bank(config.num_classes, bs,
-                                 config.audio_samples))
+        from _bench_util import zero_train_state
+
+        state = zero_train_state(model, tx, config, bs)
 
         batch = {k: jnp.asarray(v) for k, v in
                  synthetic_train_batch(config, bs).items()}

@@ -41,12 +41,10 @@ def main():
     extra_args, rest = extra.parse_known_args()
 
     config = load_args_and_config(rest)
-    mesh = create_mesh(num_devices=1)
-    model = build_model(config)
-    tx, _ = make_optimizer(config, 1)
-    state = init_state(config, model, tx, mesh)
 
     if extra_args.to_torch:
+        # pure host-side work — no model init (init on the tunneled TPU
+        # is hundreds of small compiles, minutes of wasted wall clock)
         import torch
 
         from cavp_tpu.engine.checkpoint import restore_checkpoint
@@ -64,6 +62,11 @@ def main():
         logger.info("exported %d torch keys -> %s"
                     % (len(tsd), extra_args.out))
         return
+
+    mesh = create_mesh(num_devices=1)
+    model = build_model(config)
+    tx, _ = make_optimizer(config, 1)
+    state = init_state(config, model, tx, mesh)
 
     params, batch_stats, report = load_model_variables(
         config.ckpt_path, state.params, state.batch_stats,

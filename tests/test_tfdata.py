@@ -50,6 +50,49 @@ class TestTFData:
             assert len(batches) == 2
             assert batches[0]["image"].shape[1:] == (10, 48, 48, 3)
 
+    def test_palette_mask_indices_preserved(self):
+        """Real AVSS labels are palette PNGs whose palette INDEX is the
+        class id. tf.io.decode_png expands palettes to RGB (garbage
+        labels); the pipeline must keep raw indices."""
+        import os
+        import tempfile
+
+        import numpy as np
+        from PIL import Image
+
+        from cavp_tpu.data.avss import get_v2_palette
+        from cavp_tpu.data.synthetic import make_synthetic_avss, write_wav
+
+        tmp = tempfile.mkdtemp()
+        base = make_synthetic_avss(tmp, num_videos=1, image_size=48,
+                                   num_classes=6)
+        # overwrite the v2 video's masks with palette-mode PNGs
+        vdir = os.path.join(base, "v2", "test_vid2")
+        if not os.path.isdir(vdir):  # ensure a v2 video exists
+            vdir = None
+            for sub in ("v1s", "v1m", "v2"):
+                d = os.path.join(base, sub)
+                if os.path.isdir(d):
+                    vdir = os.path.join(d, sorted(os.listdir(d))[0])
+                    break
+        mask = np.zeros((48, 48), np.uint8)
+        mask[10:30, 10:30] = 37  # class id far from its palette gray level
+        pal_img = Image.fromarray(mask, mode="P")
+        pal_img.putpalette(get_v2_palette(71))
+        mdir = os.path.join(vdir, "labels_semantic")
+        for f in os.listdir(mdir):
+            pal_img.save(os.path.join(mdir, f))
+
+        cfg = get_config("avss").replace(
+            image_width=48, image_height=48, num_classes=71,
+            resize_flag=True)
+        ds = AVSSDataset(cfg, "test", dir_base=base)
+        table = avss_file_table(ds)
+        batch = next(make_avss_eval_dataset(table[:1], cfg, batch_videos=1))
+        labels = np.unique(batch["pix_label"])
+        assert 37 in labels, labels  # raw palette index survived
+        assert labels.max() <= 70, labels  # no RGB/gray expansion
+
     def test_runner_validation_via_tfdata(self):
         """run_training with use_tfdata=True swaps the eval loader for
         the tf.data pipeline and still produces finite metrics."""

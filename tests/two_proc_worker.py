@@ -68,6 +68,30 @@ def main():
     assert abs(merged["inter"][0] - 3.0) < 1e-6, merged
     assert abs(merged["union"][1] - 10.0) < 1e-6, merged
 
+    # UNEVEN eval shards: run_validation's multi-host design — each
+    # process evaluates its own shard count on its LOCAL mesh (no
+    # cross-process lockstep; a global-mesh eval would deadlock the
+    # moment shard sizes differ), then one merge at the end.
+    from cavp_tpu.parallel import local_mesh, localize_replicated
+
+    lm = local_mesh()
+    assert all(d.process_index == PROC_ID for d in lm.devices.flat)
+    weights = localize_replicated({"w": jnp.full((4,), 2.0)})
+
+    @jax.jit
+    def local_eval(w, b):
+        return jnp.sum(w["w"] * b)
+
+    n_batches = 3 if PROC_ID == 0 else 1  # deliberately unequal
+    acc = 0.0
+    for i in range(n_batches):
+        from cavp_tpu.parallel import shard_batch as sb
+        b = sb({"x": np.full((2, 4), float(i + 1), np.float32)}, lm)
+        acc += float(local_eval(weights, b["x"]))
+    total = allsum_across_processes({"acc": np.asarray(acc)})
+    # proc0: (1+2+3)*2rows*4cols*2.0 = 96 ; proc1: 1*2*4*2 = 16
+    assert abs(float(total["acc"]) - 112.0) < 1e-5, total
+
     barrier()
     print(f"proc {PROC_ID}: OK", flush=True)
 

@@ -92,6 +92,40 @@ def main():
     # proc0: (1+2+3)*2rows*4cols*2.0 = 96 ; proc1: 1*2*4*2 = 16
     assert abs(float(total["acc"]) - 112.0) < 1e-5, total
 
+    # the real runner.run_validation under 2 processes with UNEVEN
+    # shards: proc0 gets 2 batches, proc1 gets 1 — must not deadlock,
+    # and the merged metrics must equal both processes' view
+    from cavp_tpu.config import get_config
+    from cavp_tpu.engine.optim import make_optimizer
+    from cavp_tpu.engine.runner import build_model, run_validation
+    from cavp_tpu.engine.state import create_train_state
+
+    cfg = get_config("avss").replace(
+        num_classes=4, image_width=32, image_height=32, visual_backbone=18,
+        compute_dtype="float32", gpus=2, batch_size=2)
+    model = build_model(cfg)
+    tx, _ = make_optimizer(cfg)
+    sample = {"image": jnp.zeros((1, 32, 32, 3)),
+              "audio": jnp.zeros((1, 96, 64, 1))}
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample,
+                               cfg)
+
+    def batch(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "image": r.randn(2, 32, 32, 3).astype(np.float32),
+            "waveform": np.zeros((2, 1, 16000), np.float32),
+            "pix_label": r.randint(0, 4, (2, 32, 32)).astype(np.int32),
+            "valid": np.ones((2,), np.float32),
+        }
+
+    loader = [batch(0), batch(1)] if PROC_ID == 0 else [batch(2)]
+    results = run_validation(cfg, model, state, loader)
+    assert np.isfinite(results["miou"]), results
+    merged = allsum_across_processes({"m": np.asarray(results["miou"])})
+    # identical on both processes after the internal merge
+    assert abs(float(merged["m"]) - 2 * results["miou"]) < 1e-6
+
     barrier()
     print(f"proc {PROC_ID}: OK", flush=True)
 

@@ -51,12 +51,18 @@ def resample(wave: np.ndarray, sr: int, target_sr: int = TARGET_SR) -> np.ndarra
 def crop_audio(wave: np.ndarray, audio_len: float, sr: int = TARGET_SR
                ) -> np.ndarray:
     """Center-crop to audio_len seconds, tiling when short
-    (audio_dataset.crop_audio:51-62)."""
+    (audio_dataset.crop_audio:51-62).
+
+    Bit-faithful to the reference's python slicing: when the clip is
+    shorter than audio_len, ``st`` goes negative and ``wave[:, st:et]``
+    wraps from the END — the reference keeps only the LAST ``-st``
+    samples and tiles those, not the whole waveform.
+    """
     mid = wave.shape[-1] // 2
     sample_len = int(audio_len * sr)
     st = mid - sample_len // 2
     et = st + sample_len
-    out = wave[..., max(st, 0):et]
+    out = wave[..., st:et]  # negative st wraps, exactly like the reference
     if out.shape[-1] != sample_len:
         reps = sample_len // max(out.shape[-1], 1) + 1
         out = np.tile(out, (1,) * (out.ndim - 1) + (reps,))[..., :sample_len]

@@ -26,9 +26,9 @@ _NEG_INF = -1e9
 
 def _info_nce_core(features, mask, logits_mask, temperature, base_temperature,
                    valid_rows=None, eps=0.0):
-    """The shared SupCon log-prob core (sup_contrastive.py:68-96)."""
+    """The shared SupCon log-prob core (sup_contrastive.py:68-96):
+    denominator = sum of exp over ALL non-self pairs (positives incl.)."""
     dots = (features @ features.T) / temperature
-    dots = jnp.where(logits_mask + jnp.eye(features.shape[0]) > 0, dots, dots)
     logits_max = jax.lax.stop_gradient(jnp.max(dots, axis=1, keepdims=True))
     logits = dots - logits_max
     exp_logits = jnp.exp(logits) * logits_mask
@@ -42,11 +42,34 @@ def _info_nce_core(features, mask, logits_mask, temperature, base_temperature,
     return jnp.mean(loss_vec)
 
 
+def _pixelcontrast_core(features, mask, logits_mask, temperature,
+                        valid_rows, eps):
+    """PixelContrastLoss._contrastive (contrastive.py:93-137): per-pair
+    denominator ``exp(logits_ij) + sum-of-NEGATIVES`` — other positives
+    are NOT in the denominator (unlike SupCon). base_temperature ==
+    temperature in the reference ctor, so the leading factor is 1."""
+    pair_valid = valid_rows[:, None] * valid_rows[None, :]
+    dots = (features @ features.T) / temperature
+    dots = jnp.where(pair_valid > 0, dots, _NEG_INF)
+    logits_max = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(dots, axis=1, keepdims=True), _NEG_INF / 2))
+    logits = dots - logits_max
+    exp_logits = jnp.exp(jnp.where(pair_valid > 0, logits, _NEG_INF))
+    neg_mask = (1.0 - mask) * pair_valid
+    neg_sum = jnp.sum(exp_logits * neg_mask, axis=1, keepdims=True)
+    log_prob = logits - jnp.log(exp_logits + neg_sum + 1e-30)
+    pos = mask * logits_mask
+    mean_log_prob_pos = jnp.sum(pos * log_prob, axis=1) / (
+        jnp.sum(pos, axis=1) + eps)
+    loss_vec = jnp.where(valid_rows > 0, -mean_log_prob_pos, 0.0)
+    return jnp.sum(loss_vec) / jnp.maximum(jnp.sum(valid_rows), 1.0)
+
+
 def supcon_loss(features: jnp.ndarray, labels: Optional[jnp.ndarray] = None,
                 temperature: float = 0.07, base_temperature: float = 0.07):
     """features [B, n_views, D]; labels [B] (None -> SimCLR eye mask)."""
     b, n_views, d = features.shape
-    flat = features.reshape(b * n_views, d)  # view-major like torch unbind/cat
+    # view-major flatten, like torch cat(unbind(dim=1))
     flat = jnp.concatenate(jnp.split(features, n_views, axis=1), axis=0).reshape(
         b * n_views, d)
     if labels is None:
@@ -107,10 +130,15 @@ def pixel_contrast_loss(
 ):
     """contrastive.py:8-169 with static (image, class)-slot budgets.
 
-    Hard anchors = pixels predicted as c but labeled differently; easy =
-    correctly predicted. Per eligible (image, class) with > max_views
-    predicted pixels, keep n_view//2 hard + rest easy (falling back to
-    whichever side is short, contrastive.py:69-78).
+    Reference semantics (`_hard_anchor_sampling(X, y=predict,
+    y_hat=labels, conf)`, contrastive.py:19-91): eligible classes come
+    from the GT label map (GT count > max_views, ignore excluded,
+    background included); per eligible (image, class), HARD anchors are
+    labeled-cls-but-mispredicted pixels (false negatives) and EASY are
+    correctly predicted, keeping n_view//2 hard + rest easy (falling
+    back to whichever side is short, contrastive.py:69-78). The InfoNCE
+    uses the per-pair ``exp(logit) + sum-of-negatives`` denominator
+    (contrastive.py:121-131), NOT the SupCon all-pairs denominator.
     """
     b, h, w, c_dim = feats.shape
     n_view = max_views
@@ -126,10 +154,13 @@ def pixel_contrast_loss(
     lab = interpolate_nearest(labels, (h, w)).reshape(b, h * w)
 
     num_classes = logits.shape[-1]
-    # eligible classes per image: predicted-count > max_views, class != 255
-    counts = jax.vmap(
-        lambda p: jnp.zeros((num_classes,), jnp.int32).at[p].add(1))(predict)
-    eligible = counts > max_views  # [B, num_classes]
+    # eligible classes per image from the GT map: count > max_views
+    # (compare+reduce histogram — scatters serialize on TPU, CLAUDE.md);
+    # ignore_index pixels fall outside [0, num_classes) automatically
+    counts = jnp.sum(
+        (lab[:, :, None] == jnp.arange(num_classes)[None, None, :]
+         ).astype(jnp.int32), axis=1)            # [B, num_classes]
+    eligible = counts > max_views
 
     big = num_classes + 1
     slot_cls = jnp.sort(
@@ -141,8 +172,9 @@ def pixel_contrast_loss(
         b, slots_per_image, 2, 2)
 
     def per_slot(img_feats, img_pred, img_lab, cls, kpair):
-        hard = (img_pred == cls) & (img_lab != cls)
-        easy = (img_pred == cls) & (img_lab == cls)
+        # hard = false negatives, easy = true positives (contrastive.py:61-64)
+        hard = (img_lab == cls) & (img_pred != cls)
+        easy = (img_lab == cls) & (img_pred == cls)
         nh = jnp.sum(hard)
         ne = jnp.sum(easy)
         nhk = jnp.where((nh >= n2) & (ne >= n2), n2,
@@ -175,10 +207,10 @@ def pixel_contrast_loss(
     # _contrastive (contrastive.py:93-137): view-major flatten
     flat = jnp.concatenate(jnp.split(x, n_view, axis=1), axis=0).reshape(
         total * n_view, c_dim)
-    vmask = jnp.tile(valid, n_view)
+    vmask = jnp.tile(valid, n_view).astype(jnp.float32)
     same = (y[:, None] == y[None, :]).astype(jnp.float32)
     same = same * valid[:, None] * valid[None, :]
     mask = jnp.tile(same, (n_view, n_view))
     logits_mask = (1.0 - jnp.eye(total * n_view)) * vmask[None, :] * vmask[:, None]
-    return _info_nce_core(flat, mask, logits_mask, temperature, temperature,
-                          valid_rows=vmask, eps=eps)
+    return _pixelcontrast_core(flat, mask, logits_mask, temperature,
+                               valid_rows=vmask, eps=eps)

@@ -86,8 +86,10 @@ def corocl_loss(
     bg_mask = gt_m == 0
 
     # --- eligible classes -> static slots (ascending class id) ---
-    counts = jnp.zeros((num_classes,), jnp.int32).at[
-        jnp.where(fg_mask, gt_m, 0)].add(fg_mask.astype(jnp.int32))
+    # compare+reduce histogram (scatter-add serializes on TPU, CLAUDE.md)
+    counts = jnp.sum(
+        (jnp.where(fg_mask, gt_m, num_classes)[:, None]
+         == jnp.arange(num_classes)[None, :]).astype(jnp.int32), axis=0)
     eligible = counts >= max_views
     eligible = eligible.at[0].set(False)
     big = num_classes + 1

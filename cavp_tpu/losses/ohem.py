@@ -25,8 +25,13 @@ def ohem_cross_entropy(
     flat_logits = logits.reshape(-1, c)
     flat_labels = labels.reshape(-1)
     valid = flat_labels != ignore_index
-    safe = jnp.where(valid, flat_labels, 0).astype(jnp.int32)
 
+    # reference gates ALL filtering on min_kept > 0 (losser.py:34) and
+    # skips it when min_kept > num_valid (losser.py:28-29)
+    if min_kept <= 0:
+        return cross_entropy(flat_logits, flat_labels, ignore_index)
+
+    safe = jnp.where(valid, flat_labels, 0).astype(jnp.int32)
     prob = jax.nn.softmax(flat_logits.astype(jnp.float32), axis=-1)
     gt_prob = jnp.take_along_axis(prob, safe[:, None], axis=-1)[:, 0]
     gt_prob = jnp.where(valid, gt_prob, 1.0)  # masked_fill_(~valid, 1)
@@ -37,9 +42,8 @@ def ohem_cross_entropy(
     kth = sorted_prob[jnp.maximum(k, 0)]
     threshold = jnp.where(kth > thresh, kth, thresh)
     kept = gt_prob <= threshold
-    kept = kept & valid
 
-    new_labels = jnp.where(kept, flat_labels, ignore_index)
-    new_labels = jnp.where(num_valid > 0, new_labels,
-                           flat_labels)  # no valid pixels: plain CE
+    apply = (num_valid > 0) & (num_valid >= min_kept)
+    drop = valid & ~kept
+    new_labels = jnp.where(apply & drop, ignore_index, flat_labels)
     return cross_entropy(flat_logits, new_labels, ignore_index)

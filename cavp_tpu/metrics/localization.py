@@ -135,8 +135,10 @@ class EvaluatorFull:
                                               thr, iou_thr)
             precision.append(p)
             recall.append(r)
+        # fewer than 2 PR points: the reference's sum over an empty
+        # range yields 0.0 (engine/utils.py:224-248), not NaN
         if len(precision) < 2:
-            return float("nan")
+            return 0.0
         precision_max = [np.max(precision[i:]) for i in range(len(precision))]
         return float(sum(precision_max[i] * (recall[i + 1] - recall[i])
                          for i in range(len(precision_max) - 1)))
@@ -191,12 +193,23 @@ class EvaluatorFull:
                 tag = f"{subset}@{int(iou_thr * 100)}"
                 if not ciou:
                     out[f"Precision-{tag}"] = float("nan")
+                    out[f"F1-{tag}"] = float("nan")
                     out[f"AP-{tag}"] = float("nan")
                     out[f"AUC-{tag}"] = float("nan")
                     continue
                 p, _ = self.calc_precision_recall(bb, ciou, conf, -1000,
                                                   iou_thr)
                 out[f"Precision-{tag}"] = p * 100
+                # F1 sweep over ~10 confidence thresholds
+                # (engine/utils.py:320-335; display_results derives its
+                # headline f1_max from these)
+                conf_thr = sorted(conf)[::max(1, len(conf) // 10)]
+                pr = [self.calc_precision_recall(bb, ciou, conf, thr,
+                                                 iou_thr)
+                      for thr in conf_thr]
+                out[f"F1-{tag}"] = [
+                    (2 * r_ * p_ / (r_ + p_) if r_ + p_ > 0 else 0.0) * 100
+                    for p_, r_ in pr]
                 out[f"AP-{tag}"] = self.calc_ap(bb, ciou, conf, iou_thr) * 100
                 out[f"AUC-{tag}"] = self.cal_auc(bb, ciou) * 100
         return out

@@ -85,3 +85,21 @@ class TestColorMask:
         rgb = np.asarray(pal, np.uint8).reshape(-1, 3)[label]
         back = color_mask_to_label(rgb, pal)
         np.testing.assert_array_equal(back, label)
+
+
+class TestEvaluatorFullF1:
+    def test_f1_keys_and_small_subset_ap(self):
+        """finalize_stats must emit the F1-{subset}@{iou} sweep the
+        reference's display_results reads (engine/utils.py:320-335), and
+        tiny subsets give AP=0.0 (reference empty-range sum), not NaN."""
+        ev = EvaluatorFull()
+        rng = np.random.RandomState(0)
+        for i in range(6):
+            ev.update(name=f"v{i}", area=100 + i, n_boxes=1,
+                      ciou=float(rng.rand()), confidence=float(rng.rand()))
+        out = ev.finalize_stats()
+        f1 = out.get("F1-all@50")
+        assert isinstance(f1, list) and len(f1) >= 1
+        assert all(np.isfinite(v) for v in f1)
+        ap = out["AP-all@50"]
+        assert np.isfinite(ap)

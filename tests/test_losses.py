@@ -150,3 +150,119 @@ class TestSupCon:
         mean_pos = (mask * log_prob).sum(1) / mask.sum(1)
         exp = (-mean_pos).mean().item()
         np.testing.assert_allclose(ours, exp, rtol=1e-4)
+
+
+class TestOhemMinKeptZero:
+    def test_min_kept_zero_is_plain_ce(self):
+        """losser.py:34 gates ALL filtering on min_kept > 0."""
+        rng = np.random.RandomState(0)
+        logits = jnp.asarray(rng.randn(64, 5).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, 5, (64,)), jnp.int32)
+        a = float(ohem_cross_entropy(logits.reshape(4, 4, 4, 5),
+                                     labels.reshape(4, 4, 4), min_kept=0))
+        b = float(cross_entropy(logits, labels))
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_min_kept_above_num_valid_is_plain_ce(self):
+        """losser.py:28-29: filtering also skipped when min_kept > num_valid."""
+        rng = np.random.RandomState(1)
+        logits = jnp.asarray(rng.randn(2, 4, 4, 5).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, 5, (2, 4, 4)), jnp.int32)
+        a = float(ohem_cross_entropy(logits, labels, min_kept=10_000))
+        b = float(cross_entropy(logits, labels))
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+class TestPixelContrastParity:
+    def _torch_contrastive(self, feats_, labels_, temperature):
+        """Inline torch transcription of PixelContrastLoss._contrastive
+        (contrastive.py:93-137): per-pair exp(logit)+neg-sum denominator."""
+        anchor_num, n_view = feats_.shape[0], feats_.shape[1]
+        labels_ = labels_.contiguous().view(-1, 1)
+        mask = torch.eq(labels_, labels_.T).float()
+        contrast = torch.cat(torch.unbind(feats_, dim=1), dim=0)
+        logits = (contrast @ contrast.T) / temperature
+        logits = logits - logits.max(dim=1, keepdim=True).values.detach()
+        mask = mask.repeat(n_view, n_view)
+        neg_mask = 1 - mask
+        n = anchor_num * n_view
+        logits_mask = torch.ones(n, n).scatter_(
+            1, torch.arange(n).view(-1, 1), 0)
+        mask = mask * logits_mask
+        neg = (torch.exp(logits) * neg_mask).sum(1, keepdim=True)
+        log_prob = logits - torch.log(torch.exp(logits) + neg)
+        mean_lpp = (mask * log_prob).sum(1) / mask.sum(1)
+        return float((-mean_lpp).mean())
+
+    def test_core_matches_reference_denominator(self):
+        """_pixelcontrast_core == reference _contrastive on fixed anchors
+        (all slots valid)."""
+        from cavp_tpu.losses.contrast_extra import _pixelcontrast_core
+
+        torch.manual_seed(0)
+        n_slots, n_view, d = 3, 4, 8
+        x = torch.randn(n_slots, n_view, d)
+        x = tF.normalize(x, p=2, dim=-1)
+        y = torch.tensor([1.0, 2.0, 1.0])
+        ref = self._torch_contrastive(x, y.clone(), 0.1)
+
+        flat = jnp.concatenate(
+            jnp.split(jnp.asarray(x.numpy()), n_view, axis=1), axis=0
+        ).reshape(n_slots * n_view, d)
+        valid = jnp.ones((n_slots,))
+        vmask = jnp.tile(valid, n_view)
+        same = (y.numpy()[:, None] == y.numpy()[None, :]).astype(np.float32)
+        mask = jnp.asarray(np.tile(same, (n_view, n_view)))
+        logits_mask = (1.0 - jnp.eye(n_slots * n_view))
+        got = float(_pixelcontrast_core(flat, mask, logits_mask, 0.1,
+                                        valid_rows=vmask, eps=1e-12))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_anchor_classes_come_from_gt(self):
+        """Eligibility uses the GT histogram (contrastive.py:27-35), not
+        the prediction's: classes dominant only in the prediction yield
+        no anchors (loss exactly 0 — no eligible slots), while two
+        GT-dominant classes yield a positive loss even when the model
+        never predicts them."""
+        from cavp_tpu.losses import pixel_contrast_loss
+
+        b, h, w, c, k = 1, 8, 8, 6, 4
+        feats = jnp.asarray(np.random.RandomState(0).randn(b, h, w, c)
+                            .astype(np.float32))
+        # prediction: two dominant classes (2 and 3, 32 px each > 16);
+        # GT: all pixels class 1... but spread GT so NO class > 16? GT
+        # must have nothing eligible: alternate GT over 4 classes
+        # (16 px each, not > 16).
+        pred = jnp.zeros((b, h, w, k)).at[:, :, :4, 2].set(10.0
+                                                           ).at[:, :, 4:, 3].set(10.0)
+        gt_spread = jnp.asarray(
+            (np.indices((h, w)).sum(0) % 4).astype(np.int32))[None]
+        loss_pred_only = float(pixel_contrast_loss(
+            jax.random.PRNGKey(0), feats, pred, gt_spread, max_views=16,
+            slots_per_image=2))
+        assert loss_pred_only == 0.0  # old (prediction-based) gave > 0
+
+        # GT: two dominant classes (1 on left half, 3 on right), while
+        # the prediction stays on class 2 everywhere -> all-hard anchors
+        pred2 = jnp.zeros((b, h, w, k)).at[..., 2].set(10.0)
+        gt_two = jnp.asarray(np.where(np.arange(w)[None, :] < 4, 1, 3)
+                             .astype(np.int32))[None].repeat(h, axis=0
+                                                             ).reshape(b, h, w)
+        loss_gt = float(pixel_contrast_loss(
+            jax.random.PRNGKey(0), feats, pred2, gt_two, max_views=16,
+            slots_per_image=2))
+        assert np.isfinite(loss_gt) and loss_gt > 0.0
+
+
+class TestCropAudioShortClips:
+    def test_short_clip_keeps_tail_and_tiles(self):
+        """audio_dataset.crop_audio:51-62 — negative start wraps from
+        the END in python slicing; the reference tiles only the tail."""
+        from cavp_tpu.data.audio_io import crop_audio
+
+        wave = np.arange(12800, dtype=np.float32)[None]  # 0.8 s @ 16 kHz
+        out = crop_audio(wave, 1.0)
+        assert out.shape == (1, 16000)
+        # st = 6400 - 8000 = -1600 -> wave[:, -1600:] = samples 11200..12799
+        np.testing.assert_array_equal(out[0, :1600], wave[0, -1600:])
+        np.testing.assert_array_equal(out[0, 1600:3200], wave[0, -1600:])

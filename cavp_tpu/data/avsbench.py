@@ -178,10 +178,10 @@ class MS3Dataset:
             y = np.clip(y.astype(np.int32), 0, 1)
             waveform = load_audio(self._wav(video), self.AUDIO_SECONDS)
             waveform = waveform.reshape(10, -1)[img_id - 1:img_id]
+            # F.one_hot((mask.sum()!=0).long(), 2) — avsbench_ms.py:135-136:
+            # [0,1] for non-empty masks, [1,0] for empty; bg bit NOT forced
             class_label = np.zeros((1, self.config.num_classes), np.int32)
-            class_label[0, 0] = 1
-            if y.sum() > 0:
-                class_label[0, 1] = 1
+            class_label[0, 1 if y.sum() > 0 else 0] = 1
             return {
                 "image": x[None].astype(np.float32),
                 "waveform": waveform.astype(np.float32),

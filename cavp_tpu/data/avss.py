@@ -88,7 +88,12 @@ class AVSSDataset:
         if config.avsbench_split != "all":
             df = df[df["label"] == config.avsbench_split]
         self.df = df.reset_index(drop=True)
-        self.num_classes = config.num_classes
+        # one-hot width: the reference VisualDataset always uses the
+        # AVSS data config's NUM_CLASSES=71 (visual_dataset.py:68,157),
+        # even under avss_binary where the MODEL has 2 classes — the
+        # 71-wide img_label is what drives if_match's semantic pairing.
+        self.num_classes = 71 if config.setup == "avss_binary" \
+            else config.num_classes
         self.palette = get_v2_palette(71)
         self.transform = VisualAugmentation(
             image_mean=config.image_mean, image_std=config.image_std,

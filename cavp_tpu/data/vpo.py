@@ -100,7 +100,13 @@ class VPODataset:
         return len(self.groups) if self.multi_source else len(self.df)
 
     def _remap_mask(self, label: np.ndarray) -> np.ndarray:
-        """COCO-id -> VPO index remap (visual_dataset.py:124-135)."""
+        """COCO-id -> VPO index remap (visual_dataset.py:124-135).
+
+        NOTE: the reference remaps sequentially IN PLACE over ascending
+        uniques, so a write can alias a later COCO id (e.g. car COCO 3 ->
+        VPO 5, then airplane COCO 5 -> 1 also re-remaps those car
+        pixels) — a latent data-corruption bug we deliberately do NOT
+        replicate (all reads here come from the original array)."""
         out = label.copy()
         for cid in np.unique(label):
             if cid in (0, 255):
@@ -133,7 +139,10 @@ class VPODataset:
         for _, r in rows.iterrows():
             w = _load_crop(r["audio_fp"], audio_len)
             pos = float(r.get("audio_pos", 0.5))
-            if flip and self.mode == "train":
+            # only the MULTI-source reference plumbs the flip into the
+            # panning (multi_source audio_dataset.py:58 `1 - pos if
+            # flip`); single-source pans by the raw audio_pos
+            if flip and self.mode == "train" and self.multi_source:
                 pos = 1.0 - pos
             if self.stereo:
                 waves.append(pan_stereo(w, pos))
@@ -141,10 +150,22 @@ class VPODataset:
                 waves.append(np.mean(w, axis=0, keepdims=True))
         waveform = mix_sources(waves) if len(waves) > 1 else waves[0]
 
-        onehot = np.zeros((self.num_classes,), np.int32)
-        onehot[0] = 1
-        for _, r in rows.iterrows():
-            onehot |= self._category_onehot(r["cateName"])
+        if self.multi_source:
+            # multi-source img_label comes from the REMAPPED mask's
+            # uniques (multi_source visual_dataset.py:148-150): crops
+            # can drop a source, and the bg bit is set only when
+            # background pixels survive
+            onehot = np.zeros((self.num_classes,), np.int32)
+            u = np.unique(y)
+            u = u[(u != 255) & (u < self.num_classes)]
+            onehot[u] = 1
+        else:
+            # single-source: metadata categories + forced bg bit
+            # (single_source visual_dataset.py:77-80,138-141)
+            onehot = np.zeros((self.num_classes,), np.int32)
+            onehot[0] = 1
+            for _, r in rows.iterrows():
+                onehot |= self._category_onehot(r["cateName"])
 
         return {
             "image": x.astype(np.float32),

@@ -107,7 +107,6 @@ def make_train_step(
                 enabled=ow_flag)
             if_match, shuffle_img_label = ow.if_match, ow.shuffle_img_label
             if use_wave_bank:
-                flat_wave = waveform.reshape(B, -1)
                 banked = overwrite_from_bank(
                     sound_bank, shuffle_wave.reshape(B, -1),
                     ow.change_mask & ow_flag, ow.target_class)

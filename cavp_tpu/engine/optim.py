@@ -54,15 +54,28 @@ def label_params(params) -> Any:
 
 
 def sgd_group(schedule: Callable, lr_multiplier: float, momentum: float,
-              weight_decay: float) -> optax.GradientTransformation:
+              weight_decay: float,
+              base_lr: float = None) -> optax.GradientTransformation:
     """Torch SGD: grad += wd * param; buf = momentum*buf + grad;
-    param -= lr * buf."""
+    param -= lr * buf.
+
+    LR indexing matches the reference exactly: the trainer updates the
+    param-group lr AFTER optimizer.step() (trainer_cavp_avss_image.py:
+    224-240), so step i runs at schedule(i-1) and step 0 runs at the
+    constructor lr (args.lr x multiplier) — NOT the warmup value.
+    """
     chain = []
     if weight_decay:
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.trace(decay=momentum, nesterov=False))
+
+    def lr_at(count):
+        lagged = schedule(jnp.maximum(count - 1, 0))
+        first = schedule(0) if base_lr is None else base_lr
+        return jnp.where(count == 0, first, lagged)
+
     chain.append(optax.scale_by_schedule(
-        lambda count: -lr_multiplier * schedule(count)))
+        lambda count: -lr_multiplier * lr_at(count)))
     return optax.chain(*chain)
 
 
@@ -78,15 +91,18 @@ def make_optimizer(config, steps_per_epoch: int = None):
         config.lr, config.lr_power, total_iters,
         steps_per_epoch * config.warm_up_epoch)
 
+    base = config.lr  # step-0 lr: the optimizer's constructor value
     transforms: Dict[str, optax.GradientTransformation] = {
         "seg_decay": sgd_group(schedule, 10.0, config.momentum,
-                               config.weight_decay),
-        "seg_nodecay": sgd_group(schedule, 10.0, config.momentum, 0.0),
+                               config.weight_decay, base_lr=base),
+        "seg_nodecay": sgd_group(schedule, 10.0, config.momentum, 0.0,
+                                 base_lr=base),
         "bkb_decay": sgd_group(schedule, 1.0, config.momentum,
-                               config.weight_decay),
-        "bkb_nodecay": sgd_group(schedule, 1.0, config.momentum, 0.0),
+                               config.weight_decay, base_lr=base),
+        "bkb_nodecay": sgd_group(schedule, 1.0, config.momentum, 0.0,
+                                 base_lr=base),
         "fusion": sgd_group(schedule, 1.0, config.momentum,
-                            config.weight_decay),
+                            config.weight_decay, base_lr=base),
         # Audio: Adam at constant args.lr (main_avss_resize.py:133);
         # the scheduler never touches it (trainer lr_step:89).
         "audio": optax.adam(config.lr),

@@ -116,10 +116,17 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     tx, schedule = make_optimizer(config, steps_per_epoch)
     state = init_state(config, model, tx, mesh)
     ckpt_path = getattr(config, "ckpt_path", "")
+    start_epoch = 0
     if ckpt_path:
         state = _restore_into_state(state, ckpt_path, mesh)
-        logger.info("restored checkpoint %s (step %d)"
-                    % (ckpt_path, int(state.step)))
+        # resume the epoch counter too (reference persists 'epoch' in
+        # the checkpoint, engine/engine.py:96): without it the loop
+        # would replay epochs 0..N and re-disable the epoch>=1
+        # overwrite/bank gates mid-training
+        start_epoch = min(int(state.step) // steps_per_epoch,
+                          config.epochs)
+        logger.info("restored checkpoint %s (step %d, resuming at epoch %d)"
+                    % (ckpt_path, int(state.step), start_epoch))
     logger.info("Number of trainable parameters: %.4fM"
                 % count_params(state.params))
 
@@ -174,7 +181,7 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     rng = jax.random.PRNGKey(config.seed + 1)
 
     best_iou = 0.0
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
         n = 0

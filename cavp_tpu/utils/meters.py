@@ -100,15 +100,32 @@ def t_test(sample1: Sequence[float], sample2: Sequence[float]) -> float:
     return float((a.mean() - b.mean()) / max(se, 1e-12))
 
 
-def semi_sample(df, ratio: str, label_col: str = "a_obj", seed: int = 0):
+def semi_sample(df, ratio: str, label_col: str = "a_obj", seed: int = 1):
     """dataset/avss/semi_sample.py — per-class metadata subsampling for
-    semi-supervised ratios ('1/4' keeps a quarter of each class)."""
+    semi-supervised ratios ('1/4' keeps a quarter of each class).
+
+    Reference semantics (semi_sample.py:16-30): classes come from the
+    '_'-separated MEMBERSHIP of ``label_col`` (a multi-label video is in
+    every class's pool and can be emitted once per class — duplicates
+    kept), each class's TRAIN rows are sampled at ``frac`` with
+    ``random_state=1``, and only train-split rows appear in the output.
+    """
     import pandas as pd
 
     num, den = (int(x) for x in ratio.split("/"))
     if num >= den:
         return df
     frac = num / den
-    parts = [g.sample(max(1, int(len(g) * frac)), random_state=seed)
-             for _, g in df.groupby(label_col)]
-    return pd.concat(parts)
+    classes = sorted({c for labels in df[label_col].astype(str)
+                      for c in labels.split("_")})
+    parts = []
+    for cls in classes:
+        member = df[df[label_col].astype(str).apply(
+            lambda x: cls in x.split("_"))]
+        member = member[member["split"] == "train"] \
+            if "split" in df.columns else member
+        if len(member) == 0:
+            continue
+        parts.append(member.sample(frac=frac, random_state=seed,
+                                   replace=False))
+    return pd.concat(parts, ignore_index=True) if parts else df.iloc[:0]

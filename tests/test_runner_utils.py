@@ -118,3 +118,32 @@ class TestProfilerHook:
             found += [f for f in files if f.endswith((".pb", ".json.gz",
                                                       ".trace.json.gz"))]
         assert found, f"no trace artifacts under {prof}"
+
+
+class TestLrStepIndexing:
+    def test_step0_uses_constructor_lr_then_lagged_schedule(self):
+        """The reference updates param-group lr AFTER optimizer.step()
+        (trainer_cavp_avss_image.py:224-240): step 0 runs at args.lr and
+        step i at schedule(i-1). With warm_up_epoch>=1, schedule(0)=0,
+        so step 1's update must be ~0 while step 0's is full-size."""
+        import jax.numpy as jnp
+
+        from cavp_tpu.engine.optim import make_optimizer
+
+        cfg = get_config("avss").replace(
+            lr=0.5, warm_up_epoch=1, epochs=10, weight_decay=0.0,
+            momentum=0.0)
+        tx, schedule = make_optimizer(cfg, steps_per_epoch=10)
+        assert float(schedule(0)) == 0.0  # warmup starts at 0
+
+        params = {"backbone": {"kernel": jnp.ones((3,))}}
+        grads = {"backbone": {"kernel": jnp.ones((3,))}}
+        state = tx.init(params)
+        up0, state = tx.update(grads, state, params)
+        # step 0: constructor lr 0.5 (x1 backbone multiplier)
+        np.testing.assert_allclose(np.asarray(up0["backbone"]["kernel"]),
+                                   -0.5, rtol=1e-6)
+        up1, state = tx.update(grads, state, params)
+        # step 1: schedule(0) = 0 -> no movement
+        np.testing.assert_allclose(np.asarray(up1["backbone"]["kernel"]),
+                                   0.0, atol=1e-9)

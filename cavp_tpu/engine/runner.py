@@ -36,6 +36,7 @@ from cavp_tpu.engine.optim import current_lrs, make_optimizer
 from cavp_tpu.engine.state import create_train_state
 from cavp_tpu.models import CAVP, VisualModel
 from cavp_tpu.parallel import (
+    create_hybrid_mesh,
     create_mesh,
     initialize_distributed,
     is_primary,
@@ -265,12 +266,26 @@ def _restore_into_state(state, ckpt_path: str, mesh):
 
 def _make_mesh(config: Config):
     """--gpus selects the data-parallel width (reference: process count);
-    clamped to available devices and to a divisor of the batch size."""
+    clamped to available devices and to a divisor of the batch size.
+    Multi-slice: --nodes > 1 (the reference's world-size multiplier,
+    main_avss.py:216) or devices spanning several ``slice_index`` groups
+    select the hierarchical (dcn, ici) mesh so gradient collectives
+    reduce over ICI before crossing DCN."""
     import math
 
-    n = min(config.gpus, len(jax.devices()))
+    devices = jax.devices()
+    n = min(config.gpus * max(config.nodes, 1), len(devices))
     n = math.gcd(max(n, 1), config.batch_size)
-    return create_mesh(num_devices=max(n, 1))
+    n = max(n, 1)
+    slice_ids = {getattr(d, "slice_index", None) for d in devices[:n]}
+    want_slices = config.nodes if config.nodes > 1 else len(slice_ids)
+    if want_slices > 1 and n % want_slices == 0 and None not in slice_ids:
+        return create_hybrid_mesh(num_slices=want_slices,
+                                  devices=devices[:n])
+    if config.nodes > 1 and n % config.nodes == 0:
+        return create_hybrid_mesh(num_slices=config.nodes,
+                                  devices=devices[:n])
+    return create_mesh(num_devices=n)
 
 
 def run_validation(config: Config, model, state, test_loader, mesh=None,

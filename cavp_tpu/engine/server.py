@@ -1,0 +1,208 @@
+"""HTTP serving daemon with dynamic request batching.
+
+The reference has no deployment surface at all — its eval entry points
+(`test_avs_semantic.py`, `test_avss_resize.py`) are research loops over
+a DataLoader. This module is the production half that
+:class:`cavp_tpu.engine.predictor.Predictor` needs to be a service:
+
+- **Dynamic batching**: concurrent requests are coalesced into one
+  device batch (first arrival opens a window of ``max_wait_ms``; the
+  batch closes when ``max_batch`` frames are gathered or the window
+  expires), so single-frame clients still drive the TPU at batched
+  throughput.
+- **stdlib-only transport**: ``http.server.ThreadingHTTPServer`` with an
+  npz wire format (``numpy.savez`` request/response bodies) — no web
+  framework dependency to pin.
+
+Wire protocol:
+  POST /predict  body: npz {images: [N,H,W,3] uint8,
+                            waveforms: [N,C,L] float32}
+                 reply: npz {mask: [N,H,W] int32, probs?: [N,H,W,K] f32}
+  GET  /healthz  200 "ok" once the model is warmed up
+  GET  /stats    JSON {requests, frames, batches, mean_batch, ...}
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class _WorkItem:
+    __slots__ = ("images", "waveforms", "future")
+
+    def __init__(self, images: np.ndarray, waveforms: np.ndarray):
+        self.images = images
+        self.waveforms = waveforms
+        self.future: Future = Future()
+
+
+class DynamicBatcher:
+    """Coalesces concurrent prediction requests into device batches.
+
+    ``predict_fn(images, waveforms) -> dict`` is called from a single
+    worker thread (jax dispatch is not thread-hostile, but one in-flight
+    batch at a time keeps latency predictable); results are split back
+    per request and delivered through futures.
+    """
+
+    def __init__(self, predict_fn, max_batch: int = 8,
+                 max_wait_ms: float = 5.0):
+        self._predict = predict_fn
+        self.max_batch = int(max_batch)
+        self.max_wait = float(max_wait_ms) / 1000.0
+        self._q: "queue.Queue[Optional[_WorkItem]]" = queue.Queue()
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "frames": 0, "batches": 0,
+                      "batch_frames": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, images: np.ndarray, waveforms: np.ndarray) -> Future:
+        if images.ndim != 4 or waveforms.ndim != 3:
+            raise ValueError("images must be [N,H,W,3], waveforms [N,C,L]")
+        if images.shape[0] != waveforms.shape[0]:
+            raise ValueError("images/waveforms batch mismatch")
+        item = _WorkItem(np.ascontiguousarray(images),
+                         np.ascontiguousarray(waveforms))
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["frames"] += int(images.shape[0])
+        self._q.put(item)
+        return item.future
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _gather(self) -> Optional[List[_WorkItem]]:
+        """Block for the first request, then hold the window open."""
+        first = self._q.get()
+        if first is None:
+            return None
+        items, frames = [first], first.images.shape[0]
+        deadline = time.monotonic() + self.max_wait
+        while frames < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # re-post shutdown for the outer loop
+                break
+            items.append(nxt)
+            frames += nxt.images.shape[0]
+        return items
+
+    def _loop(self):
+        while True:
+            items = self._gather()
+            if items is None:
+                return
+            images = np.concatenate([it.images for it in items])
+            waves = np.concatenate([it.waveforms for it in items])
+            try:
+                out = self._predict(images, waves)
+            except Exception as exc:  # deliver the failure per request
+                for it in items:
+                    it.future.set_exception(exc)
+                continue
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["batch_frames"] += int(images.shape[0])
+            start = 0
+            for it in items:
+                n = it.images.shape[0]
+                it.future.set_result(
+                    {k: v[start:start + n] for k, v in out.items()})
+                start += n
+
+
+def _npz_bytes(arrays: dict) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "cavp-tpu-serve/1.0"
+    batcher: DynamicBatcher = None  # set by make_server
+    timeout_s: float = 60.0
+
+    def log_message(self, fmt, *args):  # quiet; stats endpoint instead
+        pass
+
+    def _reply(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._reply(200, b"ok", "text/plain")
+        elif self.path == "/stats":
+            st = dict(self.batcher.stats)
+            st["mean_batch"] = (st["batch_frames"] / st["batches"]
+                                if st["batches"] else 0.0)
+            self._reply(200, json.dumps(st).encode(), "application/json")
+        else:
+            self._reply(404, b"not found", "text/plain")
+
+    def do_POST(self):
+        if self.path != "/predict":
+            self._reply(404, b"not found", "text/plain")
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            payload = np.load(io.BytesIO(self.rfile.read(length)))
+            images = np.asarray(payload["images"], np.uint8)
+            waveforms = np.asarray(payload["waveforms"], np.float32)
+            fut = self.batcher.submit(images, waveforms)
+            out = fut.result(timeout=self.timeout_s)
+        except Exception as exc:
+            self._reply(400, json.dumps({"error": str(exc)}).encode(),
+                        "application/json")
+            return
+        self._reply(200, _npz_bytes(out), "application/octet-stream")
+
+
+def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
+                max_batch: Optional[int] = None, max_wait_ms: float = 5.0
+                ) -> Tuple[ThreadingHTTPServer, DynamicBatcher]:
+    """Build (but do not start) the HTTP server around a warmed Predictor.
+
+    ``max_batch`` defaults to the predictor's largest compiled bucket so
+    coalesced batches never trigger chunking inside ``predict``.
+    """
+    if max_batch is None:
+        max_batch = max(getattr(predictor, "batch_sizes", [8]))
+    batcher = DynamicBatcher(predictor.predict, max_batch=max_batch,
+                             max_wait_ms=max_wait_ms)
+    handler = type("BoundHandler", (_Handler,), {"batcher": batcher})
+    server = ThreadingHTTPServer((host, port), handler)
+    return server, batcher
+
+
+def serve(predictor, host: str = "0.0.0.0", port: int = 8000,
+          max_batch: Optional[int] = None, max_wait_ms: float = 5.0):
+    """Blocking entry point: warm the buckets, then serve forever."""
+    predictor.warmup()
+    server, _ = make_server(predictor, host, port, max_batch, max_wait_ms)
+    print(f"serving on http://{host}:{server.server_address[1]} "
+          f"(max_batch={max_batch or max(predictor.batch_sizes)}, "
+          f"window={max_wait_ms}ms)")
+    server.serve_forever()

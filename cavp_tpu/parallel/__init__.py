@@ -7,7 +7,10 @@ from cavp_tpu.parallel.dist import (
 )
 from cavp_tpu.parallel.mesh import (
     DATA_AXIS,
+    DCN_AXIS,
+    ICI_AXIS,
     batch_sharding,
+    create_hybrid_mesh,
     create_mesh,
     local_mesh,
     localize_replicated,
@@ -18,8 +21,11 @@ from cavp_tpu.parallel.mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "DCN_AXIS",
+    "ICI_AXIS",
     "allsum_across_processes",
     "create_mesh",
+    "create_hybrid_mesh",
     "batch_sharding",
     "replicated",
     "shard_batch",

@@ -23,6 +23,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
+ICI_AXIS = "ici"
 
 
 def create_mesh(num_devices: Optional[int] = None,
@@ -35,6 +37,46 @@ def create_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def create_hybrid_mesh(num_slices: Optional[int] = None,
+                       devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """2-D ``(dcn, ici)`` data-parallel mesh for multi-slice TPU pods.
+
+    The reference's only cross-node notion is ``--nodes`` multiplying the
+    DDP world size over one flat NCCL group (``main_avss.py:216``,
+    ``engine/engine.py:50-54``). On TPU the fabric is hierarchical: ICI
+    within a slice (fast), DCN between slices (slow). Expressing that
+    hierarchy as a 2-D mesh — outer axis ``dcn`` ordered by
+    ``device.slice_index``, inner axis ``ici`` — lets XLA emit
+    hierarchical collectives: the gradient allreduce reduce-scatters over
+    ICI first and only the per-slice partials cross DCN.
+
+    Devices are grouped by ``slice_index`` when present (real multi-slice
+    hardware); otherwise the flat device list is split into
+    ``num_slices`` equal groups (CPU/virtual-device testing). Batch
+    sharding and parameter replication work unchanged because
+    :func:`batch_sharding` shards the leading axis over *all* mesh axes.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    slice_ids = [getattr(d, "slice_index", None) for d in devices]
+    have_slices = all(s is not None for s in slice_ids)
+    if num_slices is None:
+        num_slices = len(set(slice_ids)) if have_slices else 1
+    if have_slices and len(set(slice_ids)) == num_slices:
+        groups: dict = {}
+        for d, s in zip(devices, slice_ids):
+            groups.setdefault(s, []).append(d)
+        if len({len(g) for g in groups.values()}) == 1:
+            arr = np.asarray([groups[k] for k in sorted(groups)])
+            return Mesh(arr, (DCN_AXIS, ICI_AXIS))
+    if len(devices) % num_slices != 0:
+        raise ValueError(
+            f"{len(devices)} devices do not split into {num_slices} slices")
+    arr = np.asarray(devices).reshape(num_slices, -1)
+    return Mesh(arr, (DCN_AXIS, ICI_AXIS))
+
+
 def local_mesh() -> Mesh:
     """Mesh over this process's addressable devices only. Used for
     evaluation under multi-host: each process evaluates its own disjoint
@@ -45,8 +87,9 @@ def local_mesh() -> Mesh:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis across the data mesh."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) axis across every mesh axis jointly —
+    P(("data",)) on the 1-D mesh, P(("dcn", "ici")) on a hybrid mesh."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -1,0 +1,107 @@
+"""Multi-slice (DCN x ICI) hybrid-mesh data parallelism.
+
+The reference's only cross-node knob is ``--nodes`` multiplying the DDP
+world size over one flat NCCL group (``main_avss.py:216``). The TPU-native
+equivalent is a hierarchical 2-D ``(dcn, ici)`` mesh; pure data
+parallelism over it must be numerically identical to the flat 1-D mesh
+(same global batch, same reductions) while letting XLA stage collectives
+over the fabric hierarchy.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cavp_tpu.config import get_config
+from cavp_tpu.engine.runner import _make_mesh
+from cavp_tpu.parallel import (
+    DCN_AXIS,
+    ICI_AXIS,
+    create_hybrid_mesh,
+    create_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+class TestHybridMeshConstruction:
+    def test_shape_and_axes(self):
+        mesh = create_hybrid_mesh(num_slices=2)
+        assert mesh.axis_names == (DCN_AXIS, ICI_AXIS)
+        assert mesh.devices.shape == (2, len(jax.devices()) // 2)
+
+    def test_indivisible_raises(self):
+        with pytest.raises(ValueError):
+            create_hybrid_mesh(num_slices=3, devices=jax.devices()[:8])
+
+    def test_single_slice_default(self):
+        # no slice_index metadata on CPU devices -> one slice
+        mesh = create_hybrid_mesh()
+        assert mesh.devices.shape[0] == 1
+
+    def test_runner_mesh_nodes(self):
+        cfg = get_config("avss").replace(gpus=4, nodes=2, batch_size=8)
+        mesh = _make_mesh(cfg)
+        assert mesh.devices.size == 8
+        assert mesh.devices.shape == (2, 4)
+        cfg1 = get_config("avss").replace(gpus=8, nodes=1, batch_size=8)
+        assert _make_mesh(cfg1).devices.ndim == 1
+
+
+class TestHybridEquivalence:
+    """Gradients AND cross-replica BN statistics must be identical over
+    the flat vs hybrid mesh — the two things the mesh layer owns (grad
+    allreduce, SyncBN). A conv+BN toy keeps this fast: the full CAVP
+    step over the *flat* 8-device mesh is already equivalence-pinned in
+    test_sharding.py, and one full-CAVP step over a virtual hybrid mesh
+    executes in minutes on XLA:CPU (serialized hierarchical collectives)
+    — measured 217 s at 64², so the mesh layer is tested in isolation
+    here instead."""
+
+    def test_grads_and_bn_stats_match_flat_mesh(self):
+        from flax import linen as nn
+
+        assert len(jax.devices()) >= 8, "needs the 8-device CPU mesh"
+
+        class Toy(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=True):
+                x = nn.Conv(8, (3, 3))(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9)(x)
+                return nn.relu(x).mean()
+
+        model = Toy()
+        x = jnp.asarray(np.random.RandomState(0).randn(8, 8, 8, 3),
+                        jnp.float32)
+        vs = model.init(jax.random.PRNGKey(0), x)
+
+        def loss_fn(params, bn_stats, xb):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": bn_stats}, xb,
+                mutable=["batch_stats"])
+            return out, upd["batch_stats"]
+
+        def step(params, bn_stats, xb):
+            (l, nbs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, bn_stats, xb)
+            return l, nbs, g
+
+        def run(mesh):
+            p = replicate(vs["params"], mesh)
+            b = replicate(vs["batch_stats"], mesh)
+            xb = shard_batch(x, mesh)
+            l, nbs, g = jax.jit(step)(p, b, xb)
+            return float(l), jax.device_get(g), jax.device_get(nbs)
+
+        l_flat, g_flat, s_flat = run(create_mesh(num_devices=8))
+        l_hyb, g_hyb, s_hyb = run(create_hybrid_mesh(num_slices=2))
+        np.testing.assert_allclose(l_flat, l_hyb, rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_flat),
+                        jax.tree_util.tree_leaves(g_hyb)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s_flat),
+                        jax.tree_util.tree_leaves(s_hyb)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -11,10 +11,14 @@ has no auto-resume; SURVEY.md §5.4).
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
+
+_save_thread: Optional[threading.Thread] = None
+_save_error: Optional[BaseException] = None
 
 
 def _checkpointer():
@@ -23,12 +27,36 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None):
+def wait_for_saves():
+    """Block until any in-flight async checkpoint write has finished;
+    re-raises a failed write's exception. Call before exiting a run (the
+    runner does) and before restoring a checkpoint you just saved."""
+    global _save_thread, _save_error
+    if _save_thread is not None:
+        _save_thread.join()
+        _save_thread = None
+    if _save_error is not None:
+        err, _save_error = _save_error, None
+        raise err
+
+
+def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
+                    blocking: bool = True):
     """Write {params, batch_stats, opt_state, step, sound_bank} (+extras).
 
     Mirrors Engine.save_checkpoint's payload {model, visual_optimizer,
     audio_optimizer, epoch, iteration} (engine/engine.py:72-100).
+
+    ``blocking=False`` moves the orbax serialization/file write to a
+    background thread so training continues while the checkpoint lands.
+    The device→host transfer stays synchronous on purpose: the runner's
+    train step donates the state buffers (``donate_argnums=(0,)``), so a
+    thread holding *device* array references would read deleted buffers
+    once the next step runs — host numpy copies have no such hazard.
+    At most one write is in flight: a new save first joins the previous
+    one (and surfaces its error, if any).
     """
+    path = os.path.abspath(path)
     payload = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
@@ -39,15 +67,35 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None):
         payload["sound_bank"] = jax.device_get(state.sound_bank)
     if extra:
         payload["extra"] = extra
-    path = os.path.abspath(path)
-    _checkpointer().save(path, payload, force=True)
+
+    wait_for_saves()
+    if blocking:
+        _checkpointer().save(path, payload, force=True)
+        return path
+
+    global _save_thread, _save_error
+
+    def _runner():
+        global _save_error
+        try:
+            _checkpointer().save(path, payload, force=True)
+        except BaseException as exc:  # surfaced by the next wait/save
+            _save_error = exc
+
+    _save_thread = threading.Thread(target=_runner, daemon=True,
+                                    name="ckpt-save")
+    _save_thread.start()
     return path
 
 
 def save_and_link_checkpoint(ckpt_dir: str, name: str, state,
-                             extra: Optional[Dict[str, Any]] = None) -> str:
-    """engine/engine.py:107-112: save + maintain an ``epoch-last`` alias."""
-    path = save_checkpoint(os.path.join(ckpt_dir, name), state, extra)
+                             extra: Optional[Dict[str, Any]] = None,
+                             blocking: bool = True) -> str:
+    """engine/engine.py:107-112: save + maintain an ``epoch-last`` alias.
+    With ``blocking=False`` the alias is created immediately and points
+    at the in-flight write; call :func:`wait_for_saves` before reading."""
+    path = save_checkpoint(os.path.join(ckpt_dir, name), state, extra,
+                           blocking=blocking)
     link = os.path.join(ckpt_dir, "epoch-last")
     if os.path.islink(link) or os.path.exists(link):
         try:
@@ -61,6 +109,7 @@ def save_and_link_checkpoint(ckpt_dir: str, name: str, state,
 
 
 def restore_checkpoint(path: str) -> Dict[str, Any]:
+    wait_for_saves()  # never read past an in-flight write
     return _checkpointer().restore(os.path.abspath(path))
 
 
@@ -103,8 +152,10 @@ class Engine:
         self.epoch = epoch
         self.iteration = iteration
 
-    def save(self, state, name: Optional[str] = None) -> str:
+    def save(self, state, name: Optional[str] = None,
+             blocking: bool = True) -> str:
         name = name or f"epoch-{self.epoch}"
         return save_and_link_checkpoint(
             self.ckpt_dir, name, state,
-            extra={"epoch": self.epoch, "iteration": self.iteration})
+            extra={"epoch": self.epoch, "iteration": self.iteration},
+            blocking=blocking)

@@ -132,10 +132,10 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
                 % count_params(state.params))
 
     if is_primary():
-        from cavp_tpu.data.avss import get_v2_palette
+        from cavp_tpu.utils.wandb_logger import get_display_palette
 
         wandb_ = Tensorboard(
-            config, palette=get_v2_palette(max(config.num_classes, 2)),
+            config, palette=get_display_palette(max(config.num_classes, 2)),
             eval_list_path=getattr(config, "eval_list_path", ""))
     else:
         wandb_ = None
@@ -228,9 +228,14 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
                         for k, v in results.items():
                             wandb_.set_summary(f"best_{k}", v)
                     if not config.ignore_ckpt:
-                        engine.save(state, "best_model")
+                        # async write: training rolls into the next epoch
+                        # while orbax serializes (D2H already done)
+                        engine.save(state, "best_model", blocking=False)
             if wandb_:
                 wandb_.upload_metrics(results, step=int(state.step))
+    from cavp_tpu.engine.checkpoint import wait_for_saves
+
+    wait_for_saves()  # join any in-flight async checkpoint write
     if wandb_:
         wandb_.finish()
     return state, best_iou

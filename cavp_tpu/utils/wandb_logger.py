@@ -29,11 +29,34 @@ def suppress_non_primary(is_primary: bool):
     logger.setLevel(logging.INFO if is_primary else logging.ERROR)
 
 
+def get_display_palette(num_classes: int) -> List[int]:
+    """utils/tensor_board.get_pallete:211-227 — display palette for
+    colorized uploads. Binary renders foreground white; multi-class uses
+    the AVSBench bit-interleave colors."""
+    if num_classes == 2:
+        return [0, 0, 0, 255, 255, 255]
+    palette = [0] * (num_classes * 3)
+    for j in range(num_classes):
+        lab = j
+        i = 0
+        while lab > 0:
+            palette[j * 3 + 0] |= ((lab >> 0) & 1) << (7 - i)
+            palette[j * 3 + 1] |= ((lab >> 1) & 1) << (7 - i)
+            palette[j * 3 + 2] |= ((lab >> 2) & 1) << (7 - i)
+            i += 1
+            lab >>= 3
+    return palette
+
+
 def colorize_mask(mask: np.ndarray, palette: List[int]) -> np.ndarray:
-    """utils/tensor_board.colorize_mask:241-251 — palette-index to RGB."""
-    pal = np.asarray(palette, np.uint8).reshape(-1, 3)
-    m = np.clip(mask, 0, len(pal) - 1)
-    return pal[m]
+    """utils/tensor_board.colorize_mask:241-251 — palette-index to RGB.
+    The palette is zero-padded to 256 entries with the last one white, so
+    ignore pixels (255) render white exactly as the reference's
+    ``palette[-3:] = [255, 255, 255]`` does."""
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:len(palette) // 3] = np.asarray(palette, np.uint8).reshape(-1, 3)
+    pal[255] = 255
+    return pal[np.clip(mask, 0, 255)]
 
 
 def load_eval_list(path: str) -> List[str]:
@@ -86,15 +109,32 @@ class Tensorboard:
     def upload_wandb_image(self, image, gt, logits, probs, status="train",
                            caption=None, folder=None, heatmap=None,
                            show_y=True):
+        """tensor_board.upload_wandb_image:90-139: x (denormalized
+        input), y (GT), y_tilde (pred with ignore pixels masked to 255 —
+        ``pred[gt == 255] = 255``), palette-colorized."""
         if self._wandb is None or self.palette is None:
             return
         import wandb
 
-        pred = np.asarray(logits).argmax(-1)
-        imgs = [wandb.Image(colorize_mask(np.asarray(g), self.palette))
-                for g in np.asarray(gt)]
-        preds = [wandb.Image(colorize_mask(p, self.palette)) for p in pred]
-        self._wandb.log({f"{status}/gt": imgs, f"{status}/pred": preds})
+        gt = np.asarray(gt)
+        pred = np.asarray(logits).argmax(-1).astype(np.int64)
+        pred[gt == 255] = 255
+        log = {
+            f"{status}/gt": [wandb.Image(colorize_mask(g, self.palette),
+                                         caption=caption) for g in gt],
+            f"{status}/pred": [wandb.Image(colorize_mask(p, self.palette),
+                                           caption=caption) for p in pred],
+        }
+        if image is not None:
+            imgs = np.asarray(image)
+            if imgs.dtype != np.uint8:  # normalized model input: denorm
+                mean = np.asarray(self.config.image_mean, np.float32)
+                std = np.asarray(self.config.image_std, np.float32)
+                imgs = np.clip((imgs * std + mean) * 255.0, 0, 255
+                               ).astype(np.uint8)
+            log[f"{status}/image"] = [wandb.Image(im, caption=caption)
+                                      for im in imgs]
+        self._wandb.log(log)
 
     def set_summary(self, key: str, value):
         if self._wandb is not None:

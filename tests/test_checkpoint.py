@@ -13,6 +13,7 @@ from cavp_tpu.engine.checkpoint import (
     Engine,
     restore_checkpoint,
     save_checkpoint,
+    wait_for_saves,
 )
 from cavp_tpu.engine.state import TrainState
 
@@ -54,3 +55,28 @@ class TestCheckpoint:
         engine.save(tiny_state)
         payload = restore_checkpoint(os.path.realpath(link))
         assert payload["extra"]["epoch"] == 4
+
+    def test_async_save_roundtrip(self, tiny_state):
+        d = tempfile.mkdtemp()
+        path = save_checkpoint(os.path.join(d, "ck"), tiny_state,
+                               blocking=False)
+        # restore_checkpoint joins the in-flight write internally
+        payload = restore_checkpoint(path)
+        assert payload["step"] == 7
+        np.testing.assert_array_equal(
+            np.asarray(payload["params"]["layer"]["kernel"]),
+            np.arange(6.0).reshape(2, 3))
+
+    def test_async_save_error_surfaces(self, tiny_state, monkeypatch):
+        import cavp_tpu.engine.checkpoint as ck
+
+        class Boom:
+            def save(self, *a, **k):
+                raise RuntimeError("disk full")
+
+        monkeypatch.setattr(ck, "_checkpointer", lambda: Boom())
+        save_checkpoint("/tmp/ck-err", tiny_state, blocking=False)
+        with pytest.raises(RuntimeError, match="disk full"):
+            wait_for_saves()
+        # error is consumed; subsequent waits are clean
+        wait_for_saves()

@@ -43,7 +43,17 @@ class Predictor:
         rng = jax.random.PRNGKey(config.seed)
         image = jnp.zeros((1, config.image_height, config.image_width, 3))
         audio = jnp.zeros((1, config.mel_frames, 64, config.in_plane))
-        variables = self.model.init(rng, image, audio, eval_mode=True)
+        if ckpt_path:
+            # a checkpoint supplies every parameter: build zero templates
+            # via eval_shape instead of model.init — real init is hundreds
+            # of small compiles (minutes of serving startup on TPU)
+            shapes = jax.eval_shape(
+                lambda r: self.model.init(r, image, audio, eval_mode=True),
+                rng)
+            variables = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), shapes)
+        else:
+            variables = self.model.init(rng, image, audio, eval_mode=True)
         params, batch_stats = variables["params"], variables["batch_stats"]
         if ckpt_path:
             params, batch_stats, report = load_model_variables(

@@ -132,10 +132,8 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
                 % count_params(state.params))
 
     if is_primary():
-        from cavp_tpu.utils.wandb_logger import get_display_palette
-
         wandb_ = Tensorboard(
-            config, palette=get_display_palette(max(config.num_classes, 2)),
+            config, palette=select_display_palette(config),
             eval_list_path=getattr(config, "eval_list_path", ""))
     else:
         wandb_ = None
@@ -267,6 +265,22 @@ def _restore_into_state(state, ckpt_path: str, mesh):
     if "sound_bank" in payload and state.sound_bank is not None:
         new = new.replace(sound_bank=replicate(payload["sound_bank"], mesh))
     return new
+
+
+def select_display_palette(config):
+    """The logger palette the reference effectively uses: AVSS-family
+    entries override Tensorboard's palette with the dataset's 71-class
+    v2 palette — even avss_binary (main_avss_resize.py:160
+    ``wandb_.pallete = train_dataset.dataset_v.pallete``,
+    visual_dataset.py:73 with NUM_CLASSES=71); VPO entries keep
+    ``tensor_board.get_pallete(num_classes)``."""
+    from cavp_tpu.utils.wandb_logger import get_display_palette
+
+    if config.setup.startswith("avss"):
+        from cavp_tpu.data.avss import get_v2_palette
+
+        return get_v2_palette(71)
+    return get_display_palette(max(config.num_classes, 2))
 
 
 def _make_mesh(config: Config):

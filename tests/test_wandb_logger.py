@@ -31,6 +31,20 @@ class TestPalette:
     def test_binary_is_black_white(self):
         assert get_display_palette(2) == [0, 0, 0, 255, 255, 255]
 
+    def test_runner_palette_selection(self):
+        """AVSS-family runs use the dataset's 71-class v2 palette (the
+        reference's post-init override); VPO uses get_pallete(classes)."""
+        from cavp_tpu.data.avss import get_v2_palette
+        from cavp_tpu.engine.runner import select_display_palette
+
+        avss = get_config("avss")
+        assert select_display_palette(avss) == get_v2_palette(71)
+        binary = get_config("avss_binary")
+        assert select_display_palette(binary) == get_v2_palette(71)
+        vpo = get_config("vpo_ss")
+        assert select_display_palette(vpo) == get_display_palette(
+            vpo.num_classes)
+
     def test_colorize_matches_reference_incl_ignore(self):
         pal = get_display_palette(71)
         mask = np.arange(256, dtype=np.int64).reshape(16, 16)

@@ -85,15 +85,16 @@ class Predictor:
         self._forward = jax.jit(_forward)
 
     def warmup(self):
-        """Compile every batch bucket ahead of serving."""
+        """Compile every batch bucket ahead of serving — through the full
+        ``predict`` path (not just the jitted forward): on remote-TPU
+        transports the first end-to-end round can cost tens of seconds
+        beyond the compile, and serving should never see a cold path."""
         for b in self.batch_sizes:
             img = np.zeros((b, self.config.image_height,
                             self.config.image_width, 3), np.uint8)
             wav = np.zeros((b, self.config.in_plane,
                             self.config.audio_samples), np.float32)
-            pred, _ = self._forward(self.variables, jnp.asarray(img),
-                                    jnp.asarray(wav))
-            jax.block_until_ready(pred)
+            self.predict(img, wav)
         return self
 
     def _bucket(self, n: int) -> int:

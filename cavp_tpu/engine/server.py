@@ -139,7 +139,9 @@ def _npz_bytes(arrays: dict) -> bytes:
 class _Handler(BaseHTTPRequestHandler):
     server_version = "cavp-tpu-serve/1.0"
     batcher: DynamicBatcher = None  # set by make_server
-    timeout_s: float = 60.0
+    # generous: the first round over a remote-TPU transport can take
+    # tens of seconds even after warmup
+    timeout_s: float = 300.0
 
     def log_message(self, fmt, *args):  # quiet; stats endpoint instead
         pass

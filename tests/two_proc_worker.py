@@ -61,6 +61,21 @@ def main():
     # rows: proc0 contributes 2 rows of 1s, proc1 2 rows of 2s
     assert abs(total - (2 * 4 * 1.0 + 2 * 4 * 2.0)) < 1e-5, total
 
+    # multi-slice x multi-host: the (dcn, ici) hybrid mesh spanning both
+    # processes (device order puts each process's devices contiguous, so
+    # the dcn axis IS the process boundary — the real pod layout).
+    # shard_batch must assemble the global array from process-local
+    # shards through make_array_from_process_local_data on the 2-D mesh.
+    from cavp_tpu.parallel import create_hybrid_mesh
+
+    hmesh = create_hybrid_mesh(num_slices=2)
+    assert hmesh.devices.shape == (2, 2)
+    assert not jax.sharding.NamedSharding(
+        hmesh, jax.sharding.PartitionSpec()).is_fully_addressable
+    hbatch = shard_batch({"x": local}, hmesh)
+    htotal = float(global_sum(hbatch))
+    assert abs(htotal - total) < 1e-5, (htotal, total)
+
     # run_validation-style metric merge: per-process partial sums
     partial = {"inter": np.asarray([PROC_ID + 1.0, 2.0]),
                "union": np.asarray([4.0, PROC_ID * 10.0])}

@@ -11,6 +11,7 @@ has no auto-resume; SURVEY.md §5.4).
 from __future__ import annotations
 
 import os
+import shutil
 import threading
 from typing import Any, Dict, Optional
 
@@ -24,20 +25,61 @@ _save_error: Optional[BaseException] = None
 def _checkpointer():
     import orbax.checkpoint as ocp
 
+    if jax.process_count() > 1:
+        # The runner saves on the primary process only, but orbax's
+        # default save() opens a barrier over ALL jax processes
+        # (Checkpointer.save -> multihost.sync_global_processes) — a
+        # single-rank save would deadlock the pod. Scope every barrier
+        # to this process: the payload is host numpy (a full replica),
+        # so a local single-process write is exactly right.
+        me = jax.process_index()
+        mp = ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"cavp-proc{me}")
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(multiprocessing_options=mp),
+            multiprocessing_options=mp)
     return ocp.PyTreeCheckpointer()
 
 
-def wait_for_saves():
-    """Block until any in-flight async checkpoint write has finished;
-    re-raises a failed write's exception. Call before exiting a run (the
-    runner does) and before restoring a checkpoint you just saved."""
+def _atomic_save(path: str, payload) -> None:
+    """Write to a sibling ``.pending`` dir, then swap it into place. The
+    previous checkpoint stays on disk until the new one is complete, so
+    a crash mid-write (or a killed async thread) can never lose the last
+    good checkpoint — orbax's ``force=True`` would instead delete the
+    old directory before writing."""
+    pending = path + ".pending"
+    if os.path.exists(pending):
+        shutil.rmtree(pending)
+    _checkpointer().save(pending, payload)
+    backup = path + ".old"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(pending, path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def wait_for_saves(raise_error: bool = True):
+    """Block until any in-flight async checkpoint write has finished.
+    A failed write's exception is re-raised (``raise_error=True``, the
+    default — used by the runner and by subsequent saves) or logged and
+    left pending (``raise_error=False`` — used by restore_checkpoint so
+    a stale write failure of one path is not misattributed to a restore
+    of another)."""
     global _save_thread, _save_error
     if _save_thread is not None:
         _save_thread.join()
         _save_thread = None
     if _save_error is not None:
-        err, _save_error = _save_error, None
-        raise err
+        if raise_error:
+            err, _save_error = _save_error, None
+            raise err
+        import logging
+
+        logging.getLogger("cavp_tpu").warning(
+            "pending async checkpoint write failed: %r", _save_error)
 
 
 def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
@@ -70,7 +112,7 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
 
     wait_for_saves()
     if blocking:
-        _checkpointer().save(path, payload, force=True)
+        _atomic_save(path, payload)
         return path
 
     global _save_thread, _save_error
@@ -78,7 +120,7 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
     def _runner():
         global _save_error
         try:
-            _checkpointer().save(path, payload, force=True)
+            _atomic_save(path, payload)
         except BaseException as exc:  # surfaced by the next wait/save
             _save_error = exc
 
@@ -109,7 +151,9 @@ def save_and_link_checkpoint(ckpt_dir: str, name: str, state,
 
 
 def restore_checkpoint(path: str) -> Dict[str, Any]:
-    wait_for_saves()  # never read past an in-flight write
+    # join (not raise): a stale failure of some other path's async write
+    # must not masquerade as a failure of THIS restore
+    wait_for_saves(raise_error=False)
     return _checkpointer().restore(os.path.abspath(path))
 
 

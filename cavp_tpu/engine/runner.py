@@ -180,6 +180,30 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     rng = jax.random.PRNGKey(config.seed + 1)
 
     best_iou = 0.0
+    try:
+        state, best_iou = _epoch_loop(
+            config, model, state, mesh, engine, wandb_, train_loader,
+            test_loader, train_step, schedule, rng, start_epoch,
+            steps_per_epoch, max_steps_per_epoch, profile_dir)
+    finally:
+        # join any in-flight async checkpoint write even when the loop
+        # raised (NaN guard, preemption): the atomic swap means the last
+        # good best_model is never lost, but the write must complete. If
+        # we're already unwinding an exception, log instead of raising.
+        import sys
+
+        from cavp_tpu.engine.checkpoint import wait_for_saves
+
+        wait_for_saves(raise_error=sys.exc_info()[0] is None)
+    if wandb_:
+        wandb_.finish()
+    return state, best_iou
+
+
+def _epoch_loop(config, model, state, mesh, engine, wandb_, train_loader,
+                test_loader, train_step, schedule, rng, start_epoch,
+                steps_per_epoch, max_steps_per_epoch, profile_dir):
+    best_iou = 0.0
     for epoch in range(start_epoch, config.epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
@@ -231,11 +255,6 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
                         engine.save(state, "best_model", blocking=False)
             if wandb_:
                 wandb_.upload_metrics(results, step=int(state.step))
-    from cavp_tpu.engine.checkpoint import wait_for_saves
-
-    wait_for_saves()  # join any in-flight async checkpoint write
-    if wandb_:
-        wandb_.finish()
     return state, best_iou
 
 
@@ -297,13 +316,18 @@ def _make_mesh(config: Config):
     n = math.gcd(max(n, 1), config.batch_size)
     n = max(n, 1)
     slice_ids = {getattr(d, "slice_index", None) for d in devices[:n]}
-    want_slices = config.nodes if config.nodes > 1 else len(slice_ids)
-    if want_slices > 1 and n % want_slices == 0 and None not in slice_ids:
-        return create_hybrid_mesh(num_slices=want_slices,
-                                  devices=devices[:n])
-    if config.nodes > 1 and n % config.nodes == 0:
-        return create_hybrid_mesh(num_slices=config.nodes,
-                                  devices=devices[:n])
+    want_slices = config.nodes if config.nodes > 1 else len(
+        slice_ids - {None})
+    if want_slices > 1 and n % want_slices == 0:
+        try:
+            return create_hybrid_mesh(num_slices=want_slices,
+                                      devices=devices[:n])
+        except ValueError as e:
+            # e.g. the devices[:n] prefix spans slices unevenly — a
+            # reshaped "hybrid" mesh would route intra-slice collectives
+            # over DCN, slower than plain data parallelism
+            logger.warning(f"hybrid mesh unavailable ({e}); using the "
+                           f"flat {n}-device mesh")
     return create_mesh(num_devices=n)
 
 

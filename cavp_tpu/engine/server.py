@@ -30,6 +30,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
 
@@ -60,6 +61,7 @@ class DynamicBatcher:
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1000.0
         self._q: "queue.Queue[Optional[_WorkItem]]" = queue.Queue()
+        self._carry: Optional[_WorkItem] = None  # overflow item -> next batch
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "frames": 0, "batches": 0,
                       "batch_frames": 0}
@@ -85,10 +87,18 @@ class DynamicBatcher:
 
     # ------------------------------------------------------------------
     def _gather(self) -> Optional[List[_WorkItem]]:
-        """Block for the first request, then hold the window open."""
-        first = self._q.get()
-        if first is None:
-            return None
+        """Block for the first request, then hold the window open. An
+        item that would push the batch past ``max_batch`` (the largest
+        compiled bucket) is carried into the next batch instead — an
+        oversized device batch would silently chunk + pad inside
+        ``predict``, doubling latency for exactly the coalescing case
+        the batcher exists to optimize."""
+        if self._carry is not None:
+            first, self._carry = self._carry, None
+        else:
+            first = self._q.get()
+            if first is None:
+                return None
         items, frames = [first], first.images.shape[0]
         deadline = time.monotonic() + self.max_wait
         while frames < self.max_batch:
@@ -101,6 +111,9 @@ class DynamicBatcher:
                 break
             if nxt is None:
                 self._q.put(None)  # re-post shutdown for the outer loop
+                break
+            if frames + nxt.images.shape[0] > self.max_batch:
+                self._carry = nxt
                 break
             items.append(nxt)
             frames += nxt.images.shape[0]
@@ -168,16 +181,28 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/predict":
             self._reply(404, b"not found", "text/plain")
             return
+        # 400 only for a malformed request; server-side faults are 5xx so
+        # clients/load balancers don't blame (and drop) a valid request
         try:
             length = int(self.headers.get("Content-Length", "0"))
             payload = np.load(io.BytesIO(self.rfile.read(length)))
             images = np.asarray(payload["images"], np.uint8)
             waveforms = np.asarray(payload["waveforms"], np.float32)
             fut = self.batcher.submit(images, waveforms)
-            out = fut.result(timeout=self.timeout_s)
         except Exception as exc:
             self._reply(400, json.dumps({"error": str(exc)}).encode(),
                         "application/json")
+            return
+        try:
+            out = fut.result(timeout=self.timeout_s)
+        except FuturesTimeout:
+            self._reply(504, json.dumps(
+                {"error": f"prediction exceeded {self.timeout_s}s"}).encode(),
+                "application/json")
+            return
+        except Exception as exc:
+            self._reply(500, json.dumps(
+                {"error": repr(exc)}).encode(), "application/json")
             return
         self._reply(200, _npz_bytes(out), "application/octet-stream")
 

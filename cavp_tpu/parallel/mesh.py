@@ -60,16 +60,28 @@ def create_hybrid_mesh(num_slices: Optional[int] = None,
         devices = jax.devices()
     devices = list(devices)
     slice_ids = [getattr(d, "slice_index", None) for d in devices]
-    have_slices = all(s is not None for s in slice_ids)
-    if num_slices is None:
-        num_slices = len(set(slice_ids)) if have_slices else 1
-    if have_slices and len(set(slice_ids)) == num_slices:
+    have_slices = (all(s is not None for s in slice_ids)
+                   and len(set(slice_ids)) > 1)
+    if have_slices:
+        # real multi-slice hardware: group strictly by slice_index — a
+        # plain reshape could put devices of different slices in one
+        # "ici" row, silently sending intra-slice collectives over DCN
         groups: dict = {}
         for d, s in zip(devices, slice_ids):
             groups.setdefault(s, []).append(d)
-        if len({len(g) for g in groups.values()}) == 1:
-            arr = np.asarray([groups[k] for k in sorted(groups)])
-            return Mesh(arr, (DCN_AXIS, ICI_AXIS))
+        if num_slices is not None and len(groups) != num_slices:
+            raise ValueError(
+                f"devices span {len(groups)} slices, requested {num_slices}")
+        if len({len(g) for g in groups.values()}) != 1:
+            raise ValueError(
+                "uneven devices per slice: "
+                f"{ {k: len(g) for k, g in groups.items()} } — pass a "
+                "device subset with equal per-slice counts")
+        arr = np.asarray([groups[k] for k in sorted(groups)])
+        return Mesh(arr, (DCN_AXIS, ICI_AXIS))
+    # no (or single) slice metadata: split the flat list (CPU/virtual
+    # testing, or --nodes used as a plain world-size multiplier)
+    num_slices = num_slices or 1
     if len(devices) % num_slices != 0:
         raise ValueError(
             f"{len(devices)} devices do not split into {num_slices} slices")

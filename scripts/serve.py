@@ -39,9 +39,16 @@ def main():
                        help="comma-separated compiled batch sizes")
     extra.add_argument("--max_wait_ms", default=5.0, type=float)
     extra.add_argument("--return_probs", action="store_true")
+    extra.add_argument("--allow_random_weights", action="store_true",
+                       help="serve without a checkpoint (bench/debug only)")
     extra_args, rest = extra.parse_known_args()
 
     config = load_args_and_config(rest)
+    if not config.ckpt_path and not extra_args.allow_random_weights:
+        raise SystemExit(
+            "refusing to serve untrained (randomly initialized) weights: "
+            "pass --ckpt_path <orbax dir | torch .pth>, or "
+            "--allow_random_weights for bench/debug")
     buckets = tuple(int(b) for b in extra_args.buckets.split(","))
     predictor = Predictor(config, ckpt_path=config.ckpt_path,
                           batch_sizes=buckets,

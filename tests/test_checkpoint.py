@@ -80,3 +80,52 @@ class TestCheckpoint:
             wait_for_saves()
         # error is consumed; subsequent waits are clean
         wait_for_saves()
+
+    def test_failed_overwrite_preserves_previous_checkpoint(
+            self, tiny_state, monkeypatch):
+        """Atomic swap: the previous best_model must survive a failed
+        (or killed) re-save — orbax force=True would delete it first."""
+        import cavp_tpu.engine.checkpoint as ck
+
+        d = tempfile.mkdtemp()
+        path = save_checkpoint(os.path.join(d, "best"), tiny_state)
+        before = restore_checkpoint(path)["step"]
+
+        real = ck._checkpointer
+
+        class Boom:
+            def save(self, *a, **k):
+                raise RuntimeError("crashed mid-write")
+
+        monkeypatch.setattr(ck, "_checkpointer", lambda: Boom())
+        with pytest.raises(RuntimeError, match="crashed mid-write"):
+            save_checkpoint(path, tiny_state)
+        monkeypatch.setattr(ck, "_checkpointer", real)
+        # the old checkpoint is fully intact and restorable
+        assert restore_checkpoint(path)["step"] == before
+
+    def test_restore_does_not_raise_stale_async_error(
+            self, tiny_state, monkeypatch):
+        """A stale failure from some OTHER path's async write must not
+        masquerade as a failure of this restore (it is logged and stays
+        pending for the next explicit wait)."""
+        import cavp_tpu.engine.checkpoint as ck
+
+        d = tempfile.mkdtemp()
+        good = save_checkpoint(os.path.join(d, "ok"), tiny_state)
+
+        real = ck._checkpointer
+
+        class Boom:
+            def save(self, *a, **k):
+                raise RuntimeError("disk full")
+
+        monkeypatch.setattr(ck, "_checkpointer", lambda: Boom())
+        save_checkpoint(os.path.join(d, "other"), tiny_state,
+                        blocking=False)
+        ck._save_thread.join()  # let the failing write land its error
+        monkeypatch.setattr(ck, "_checkpointer", real)
+        payload = restore_checkpoint(good)  # must not raise
+        assert payload["step"] == 7
+        with pytest.raises(RuntimeError, match="disk full"):
+            wait_for_saves()  # still surfaced at an explicit wait

@@ -41,6 +41,22 @@ class TestHybridMeshConstruction:
         mesh = create_hybrid_mesh()
         assert mesh.devices.shape[0] == 1
 
+    def test_uneven_slice_groups_rejected(self):
+        """With real slice metadata, a device subset spanning slices
+        unevenly must be rejected, never silently reshaped — a reshaped
+        mesh routes intra-slice collectives over DCN."""
+
+        class FakeDev:
+            def __init__(self, slice_index):
+                self.slice_index = slice_index
+
+        devs = [FakeDev(0)] * 4 + [FakeDev(1)] * 2  # uneven 4+2 prefix
+        with pytest.raises(ValueError, match="uneven"):
+            create_hybrid_mesh(num_slices=2, devices=devs)
+        with pytest.raises(ValueError, match="span"):
+            create_hybrid_mesh(num_slices=3,
+                               devices=[FakeDev(0)] * 2 + [FakeDev(1)] * 2)
+
     def test_runner_mesh_nodes(self):
         cfg = get_config("avss").replace(gpus=4, nodes=2, batch_size=8)
         mesh = _make_mesh(cfg)

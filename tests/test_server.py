@@ -57,6 +57,29 @@ class TestDynamicBatcher:
                      np.zeros((1, 1, 16), np.float32))
         b.close()
 
+    def test_overflow_item_carries_to_next_batch(self):
+        """A request that would push the batch past max_batch (the
+        largest compiled bucket) must NOT be merged — an oversized batch
+        silently chunks+pads inside predict."""
+        seen = []
+        gate = threading.Event()
+
+        def slow_predict(images, waves):
+            gate.wait(5)
+            seen.append(images.shape[0])
+            return {"mask": np.zeros(images.shape[0], np.int32)}
+
+        b = DynamicBatcher(slow_predict, max_batch=8, max_wait_ms=200.0)
+        futs = [b.submit(np.zeros((5, 4, 4, 3), np.uint8),
+                         np.zeros((5, 1, 16), np.float32))
+                for _ in range(2)]
+        time.sleep(0.05)
+        gate.set()
+        for f in futs:
+            assert f.result(timeout=5)["mask"].shape == (5,)
+        b.close()
+        assert seen == [5, 5], f"batches were {seen}, expected [5, 5]"
+
 
 class TestHTTPServer:
     @pytest.fixture(scope="class")
@@ -115,3 +138,54 @@ class TestHTTPServer:
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(req, timeout=10)
         assert err.value.code == 400
+
+
+class TestHTTPStatusCodes:
+    """Server-side faults must be 5xx, not 400 (clients would treat the
+    request as malformed and drop it)."""
+
+    def _serve(self, predict_fn, timeout_s=60.0):
+        from cavp_tpu.engine.server import DynamicBatcher, _Handler
+        from http.server import ThreadingHTTPServer
+
+        batcher = DynamicBatcher(predict_fn, max_batch=4, max_wait_ms=1.0)
+        handler = type("H", (_Handler,), {"batcher": batcher,
+                                          "timeout_s": timeout_s})
+        server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server, batcher, f"http://127.0.0.1:{server.server_address[1]}"
+
+    def _post(self, url):
+        buf = io.BytesIO()
+        np.savez(buf, images=np.zeros((1, 4, 4, 3), np.uint8),
+                 waveforms=np.zeros((1, 1, 16), np.float32))
+        req = urllib.request.Request(url + "/predict", data=buf.getvalue(),
+                                     method="POST")
+        return urllib.request.urlopen(req, timeout=20)
+
+    def test_predict_error_is_500(self):
+        def boom(i, w):
+            raise RuntimeError("device fell over")
+
+        server, batcher, url = self._serve(boom)
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post(url)
+        assert err.value.code == 500
+        assert "device fell over" in err.value.read().decode()
+        server.shutdown()
+        batcher.close()
+
+    def test_timeout_is_504(self):
+        ev = threading.Event()
+
+        def slow(i, w):
+            ev.wait(10)
+            return {"mask": np.zeros(1, np.int32)}
+
+        server, batcher, url = self._serve(slow, timeout_s=0.2)
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post(url)
+        assert err.value.code == 504
+        ev.set()
+        server.shutdown()
+        batcher.close()

@@ -141,6 +141,19 @@ def main():
     # identical on both processes after the internal merge
     assert abs(float(merged["m"]) - 2 * results["miou"]) < 1e-6
 
+    # primary-only checkpoint save under process_count=2 must not
+    # deadlock: orbax's default save() opens a barrier over ALL jax
+    # processes; _checkpointer scopes it to the saving process
+    import tempfile
+
+    from cavp_tpu.engine.checkpoint import (restore_checkpoint,
+                                            save_checkpoint)
+
+    if is_primary():
+        d = tempfile.mkdtemp()
+        p = save_checkpoint(os.path.join(d, "best"), state)
+        assert restore_checkpoint(p)["step"] == int(state.step)
+
     barrier()
     print(f"proc {PROC_ID}: OK", flush=True)
 

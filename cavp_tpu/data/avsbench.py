@@ -110,7 +110,13 @@ class S4Dataset:
             label = np.stack([p[1] for p in pack]).astype(np.int32)
             label = np.clip(label, 0, 1)  # PIL '1' -> {0,1}
 
-        waveform = load_audio(wav, self.AUDIO_SECONDS).reshape(10, -1)
+        # The reference J&F test slices the 10 s crop as
+        # waveform.view(B, T=5, 1, -1): frame i hears the 2 s window
+        # [2i, 2i+2) (the mel keeps its first ~0.96 s) — NOT second i
+        # (trainer_cavp_avs_obj.py:310-323). Rows 5-9 pad the unavailable
+        # frame slots.
+        waveform = load_audio(wav, self.AUDIO_SECONDS).reshape(5, -1)
+        waveform = np.concatenate([waveform, np.zeros_like(waveform)], 0)
 
         if self.config.num_classes <= 2:
             class_label = np.tile(np.array([[0, 1]], np.int32), (10, 1))
@@ -208,7 +214,10 @@ class MS3Dataset:
             image = np.stack([p[0] for p in pack])
             label = np.clip(np.stack([p[1] for p in pack]).astype(np.int32),
                             0, 1)
-        waveform = load_audio(self._wav(video), self.AUDIO_SECONDS).reshape(10, -1)
+        # 2 s windows per frame, as in the reference J&F test (see
+        # S4Dataset.__getitem__ above / trainer_cavp_avs_obj.py:310-323)
+        waveform = load_audio(self._wav(video), self.AUDIO_SECONDS).reshape(5, -1)
+        waveform = np.concatenate([waveform, np.zeros_like(waveform)], 0)
         pad = lambda x: np.concatenate(
             [x, np.zeros((5,) + x.shape[1:], x.dtype)], axis=0)
         class_label = np.tile(np.array([[0, 1]], np.int32), (10, 1))

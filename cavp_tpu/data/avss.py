@@ -106,6 +106,56 @@ class AVSSDataset:
     def _video_dir(self, row, kind: str) -> str:
         return os.path.join(self.dir_base, row["label"], row["uid"], kind)
 
+    def _train_item(self, row, subset, frame_avail, mask_avail,
+                    img_paths, mask_paths) -> Dict[str, np.ndarray]:
+        """Single-frame train item: decode+augment only the selected
+        available frame. Emits frame dim 1 with availability [1,0,...]
+        so collate_train_videos picks it unchanged."""
+        import random as _random
+
+        avail = np.nonzero((frame_avail > 0) & (mask_avail > 0))[0]
+        sel = int(_random.choice(list(avail)))
+
+        if sel < len(img_paths):
+            img = Image.open(img_paths[sel]).convert("RGB")
+        else:  # flagged-available but missing on disk: zero pad frame
+            ref = Image.open(img_paths[-1]).convert("RGB")
+            img = Image.fromarray(np.zeros_like(np.asarray(ref)))
+        if sel < len(mask_paths):
+            lab = Image.open(mask_paths[sel])
+        else:
+            ref = Image.open(mask_paths[-1])
+            lab = Image.fromarray(np.zeros_like(np.asarray(ref)))
+        image, label = self.transform(img, lab)
+        image = image[None].astype(np.float32)       # [1, H, W, 3]
+        label = label[None].astype(np.int32)          # [1, H, W]
+
+        class_label = np.zeros((1, self.num_classes), np.int32)
+        u = np.unique(label[0][label[0] != 255])
+        u = u[u < self.num_classes]
+        class_label[0, u] = 1
+
+        if self.config.resize_flag:
+            if self.config.avsbench_split != "all" or \
+                    self.config.setup == "avss_binary":
+                label = np.where((label != 255) & (label != 0), 1, label)
+
+        wav = os.path.join(self.dir_base, subset, row["uid"], "audio.wav")
+        waveform = load_audio(wav, self.AUDIO_SECONDS)
+        waveform = waveform.reshape(self.MASK_NUM, -1)[sel:sel + 1]
+
+        one_hot_avail = np.zeros(1, np.float32)
+        one_hot_avail[0] = 1.0
+        return {
+            "image": image,
+            "waveform": waveform.astype(np.float32),
+            "pix_label": label,
+            "img_label": class_label,
+            "name": row["uid"],
+            "frame_available": one_hot_avail,
+            "mask_available": one_hot_avail,
+        }
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         row = self.df.iloc[idx]
         subset = row["label"]
@@ -120,6 +170,17 @@ class AVSSDataset:
                      for i in range(len(img_files))]
         mask_paths = [os.path.join(fn_label, f"{i}.png")
                       for i in range(len(mask_files))]
+
+        if self.mode == "train":
+            # The reference decodes all 10 frames per item and the
+            # trainer then keeps ONE random available frame
+            # (trainer_cavp_avss_image.py:157-167) — 90% of host
+            # decode+augment work discarded on the hot path. Selecting
+            # the frame BEFORE decoding is distributionally identical
+            # (host randomness parity is distributional, SURVEY §7) and
+            # cuts the train host pipeline ~10x.
+            return self._train_item(row, subset, frame_avail, mask_avail,
+                                    img_paths, mask_paths)
 
         # Eval fast path: threaded native decode (no PIL, no GIL) —
         # replaces the reference's 16-worker DataLoader decode

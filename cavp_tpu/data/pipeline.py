@@ -26,10 +26,13 @@ import numpy as np
 
 
 def shard_indices(n: int, process_index: int, process_count: int,
-                  shuffle: bool, seed: int, drop_last: bool,
-                  pad: bool = True) -> List[int]:
+                  shuffle: bool, seed: int, pad: bool = True) -> List[int]:
     """DistributedSampler semantics (main_avss_resize.py:163-176):
-    per-epoch shuffle + contiguous shard per process, padded to even.
+    per-epoch shuffle + contiguous shard per process, padded to even by
+    wrap-around repetition (torch pads with ``indices[:padding]``) so
+    every process gets exactly ``ceil(n / process_count)`` items — even
+    when ``process_count > n``, where a shorter repeat would hand some
+    processes an empty shard and deadlock the data-parallel collectives.
 
     ``pad=False`` gives strided disjoint shards without duplication —
     required for process-sharded *evaluation*, where the torch-style
@@ -41,7 +44,8 @@ def shard_indices(n: int, process_index: int, process_count: int,
     if process_count > 1:
         if pad:
             per = (n + process_count - 1) // process_count
-            idx = (idx * 2)[process_index * per:(process_index + 1) * per]
+            reps = (per * process_count + n - 1) // n
+            idx = (idx * reps)[process_index * per:(process_index + 1) * per]
         else:
             idx = idx[process_index::process_count]
     return idx
@@ -83,7 +87,7 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = shard_indices(len(self.dataset), self.process_index,
                                 self.process_count, self.shuffle,
-                                self.seed + self.epoch, self.drop_last,
+                                self.seed + self.epoch,
                                 pad=self.pad_shards)
         batches: List[List[int]] = []
         for i in range(0, len(indices), self.batch_size):
@@ -95,14 +99,34 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer abandoned the
+            iterator (e.g. max_steps_per_epoch broke out of the loop) —
+            a plain blocking put would pin the producer thread and its
+            prefetched batches forever."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for chunk in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__, chunk))
-                    out_q.put(self.collate_fn(items))
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for chunk in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              chunk))
+                        if not _put(self.collate_fn(items)):
+                            return
+                _put(None)
+            except BaseException as exc:
+                # surface the failure to the consumer — dying silently
+                # would leave the training loop blocked in out_q.get()
+                _put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -111,6 +135,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()
@@ -159,9 +185,6 @@ def collate_train_videos(items, rng: Optional[random.Random] = None
 def collate_train_frames(items) -> Dict[str, np.ndarray]:
     """Single-frame datasets (VPO, MS3-train): squeeze the frame dim."""
     out = collate_stack(items)
-    for k in ("image", "pix_label", "img_label"):
-        if out[k].ndim > 0 and out[k].shape[1] == 1 and k != "img_label":
-            out[k] = out[k][:, 0]
     if out["image"].ndim == 5:
         out["image"] = out["image"][:, 0]
     if out["pix_label"].ndim == 4:

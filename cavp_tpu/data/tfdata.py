@@ -136,6 +136,8 @@ def avss_file_table(dataset) -> list:
     """Build the path table from an :class:`cavp_tpu.data.avss.AVSSDataset`."""
     import os
 
+    from cavp_tpu.data.avss import availability_flags
+
     table = []
     for i in range(len(dataset)):
         row = dataset.df.iloc[i]
@@ -149,9 +151,7 @@ def avss_file_table(dataset) -> list:
         masks = [os.path.join(vdir, "labels_semantic",
                               f"{min(j, n_masks - 1)}.png")
                  for j in range(10)]
-        _, mask_avail = __import__(
-            "cavp_tpu.data.avss", fromlist=["availability_flags"]
-        ).availability_flags(row["label"], dataset.mode)
+        _, mask_avail = availability_flags(row["label"], dataset.mode)
         table.append({
             "frames": frames, "masks": masks,
             "wav": os.path.join(vdir, "audio.wav"),

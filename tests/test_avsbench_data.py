@@ -92,7 +92,10 @@ class TestS4:
         assert item["image"].shape == (10, 48, 48, 3)
         assert item["pix_label"].shape == (10, 48, 48)
         assert set(np.unique(item["pix_label"])) <= {0, 1, 255}
-        assert item["waveform"].shape == (10, 16000)
+        # 2 s window per frame slot (reference J&F test's
+        # waveform.view(B, 5, 1, -1)); rows 5-9 are zero pads
+        assert item["waveform"].shape == (10, 32000)
+        assert np.abs(item["waveform"][5:]).max() == 0.0
         # train: only first mask annotated
         np.testing.assert_array_equal(
             item["mask_available"], [1] + [0] * 9)
@@ -128,4 +131,22 @@ class TestMS3:
         assert len(ds) == 2
         item = ds[0]
         assert item["image"].shape == (10, 48, 48, 3)
-        assert item["waveform"].shape == (10, 16000)
+        assert item["waveform"].shape == (10, 32000)
+        assert np.abs(item["waveform"][5:]).max() == 0.0
+
+    def test_eval_audio_windows_match_reference_view(self, ms3_root):
+        """Frame i must hear the 2 s window starting at second 2i — the
+        reference's waveform.view(B, T=5, 1, -1) slicing of the 10 s
+        crop (trainer_cavp_avs_obj.py:310-323), not second i."""
+        from cavp_tpu.data.audio_io import load_audio
+
+        cfg = get_config("avss_binary").replace(
+            data_root=ms3_root, image_width=48, image_height=48,
+            num_classes=2, setup="avss")
+        ds = MS3Dataset(cfg, "test")
+        item = ds[0]
+        full = load_audio(ds._wav(item["name"]), 10.0).reshape(-1)
+        # torch view(5, 32000): row i = samples [32000i, 32000(i+1))
+        ref_rows = full.reshape(5, 32000)
+        np.testing.assert_allclose(item["waveform"][:5], ref_rows,
+                                   atol=1e-6)

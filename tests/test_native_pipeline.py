@@ -85,6 +85,28 @@ class TestAVSSNative:
         assert t.native_eval_batch(["x"], ["y"]) is None
 
 
+class TestTrainDecodeCost:
+    def test_train_item_decodes_one_frame(self, avss_root, monkeypatch):
+        """Train items must decode exactly the selected frame (1 jpg +
+        1 png), not all 10 (the reference decodes 10 and discards 9 —
+        trainer_cavp_avss_image.py:157-167 keeps one)."""
+        from PIL import Image as PILImage
+
+        cfg = get_config("avss").replace(
+            image_width=32, image_height=32, num_classes=6,
+            resize_flag=True)
+        ds = AVSSDataset(cfg, "train", dir_base=avss_root)
+        opens = []
+        real_open = PILImage.open
+        monkeypatch.setattr(PILImage, "open",
+                            lambda p, *a, **k: opens.append(str(p))
+                            or real_open(p, *a, **k))
+        item = ds[0]
+        assert item["image"].shape[0] == 1
+        assert item["waveform"].shape == (1, 16000)
+        assert len(opens) <= 2, f"decoded {len(opens)} files: {opens}"
+
+
 class TestS4MS3Native:
     def test_s4_eval_item_matches_pil(self, s4_root):
         cfg = get_config("avss_binary").replace(num_classes=2,

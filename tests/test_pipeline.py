@@ -18,20 +18,68 @@ class _ToyDataset:
 
 class TestShardIndices:
     def test_disjoint_cover(self):
-        a = shard_indices(10, 0, 2, shuffle=False, seed=0, drop_last=False)
-        b = shard_indices(10, 1, 2, shuffle=False, seed=0, drop_last=False)
+        a = shard_indices(10, 0, 2, shuffle=False, seed=0)
+        b = shard_indices(10, 1, 2, shuffle=False, seed=0)
         assert sorted(a + b) == sorted(range(10))
 
     def test_uneven_pads_by_wraparound(self):
-        a = shard_indices(5, 0, 2, shuffle=False, seed=0, drop_last=False)
-        b = shard_indices(5, 1, 2, shuffle=False, seed=0, drop_last=False)
+        a = shard_indices(5, 0, 2, shuffle=False, seed=0)
+        b = shard_indices(5, 1, 2, shuffle=False, seed=0)
         assert len(a) == len(b) == 3  # DistributedSampler-style padding
 
     def test_epoch_seed_changes_order(self):
-        a = shard_indices(20, 0, 1, shuffle=True, seed=1, drop_last=False)
-        b = shard_indices(20, 0, 1, shuffle=True, seed=2, drop_last=False)
+        a = shard_indices(20, 0, 1, shuffle=True, seed=1)
+        b = shard_indices(20, 0, 1, shuffle=True, seed=2)
         assert a != b
         assert sorted(a) == sorted(b)
+
+    def test_more_processes_than_items_no_empty_shard(self):
+        """Tiny dataset on a big pod: every process must still get a
+        non-empty padded shard or the data-parallel collectives deadlock
+        (torch DistributedSampler repeats ceil-many times)."""
+        shards = [shard_indices(3, p, 8, shuffle=False, seed=0)
+                  for p in range(8)]
+        assert all(len(s) == 1 for s in shards), [len(s) for s in shards]
+        assert set(sum(shards, [])) <= {0, 1, 2}
+
+
+class _BoomDataset(_ToyDataset):
+    def __getitem__(self, i):
+        if i == 3:
+            raise OSError("corrupt jpeg")
+        return super().__getitem__(i)
+
+
+class TestDataLoaderRobustness:
+    def test_dataset_error_propagates_not_hangs(self):
+        """A corrupt item must raise in the consumer, not kill the
+        producer thread silently (which left the loop blocked forever
+        in out_q.get())."""
+        import pytest
+
+        loader = DataLoader(_BoomDataset(8), 2, collate_stack,
+                            num_workers=2)
+        with pytest.raises(OSError, match="corrupt jpeg"):
+            list(loader)
+
+    def test_abandoned_iterator_unblocks_producer(self):
+        """Breaking out of the loop (max_steps_per_epoch) must let the
+        producer thread exit even when it is blocked on a full queue."""
+        import threading
+        import time
+
+        before = threading.active_count()
+        for _ in range(3):
+            loader = DataLoader(_ToyDataset(64), 2, collate_stack,
+                                num_workers=2, prefetch_batches=1)
+            for i, _ in enumerate(loader):
+                if i == 0:
+                    break
+        deadline = time.time() + 5
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before + 1, (
+            f"{threading.active_count() - before} leaked threads")
 
 
 class TestDataLoader:

@@ -43,8 +43,7 @@ def main():
     assert is_primary() == (PROC_ID == 0)
 
     # disjoint eval shards with no duplication
-    mine = shard_indices(10, PROC_ID, 2, shuffle=False, seed=0,
-                         drop_last=False, pad=False)
+    mine = shard_indices(10, PROC_ID, 2, shuffle=False, seed=0, pad=False)
     assert mine == list(range(PROC_ID, 10, 2)), mine
 
     # cross-process global-batch computation: a jitted sum over a

@@ -258,11 +258,16 @@ def vggish_log_mel(data: jnp.ndarray, sample_rate: int = SAMPLE_RATE) -> jnp.nda
 
 
 def waveform_to_examples(data: jnp.ndarray, sample_rate: int = SAMPLE_RATE) -> jnp.ndarray:
-    """Mono waveform -> VGGish input examples [n, 1, 96, 64]
+    """Waveform -> VGGish input examples [n, 1, 96, 64]
     (``vggish_input.waveform_to_examples:30-81``; resampling to 16 kHz
-    happens host-side in the data pipeline)."""
+    happens host-side in the data pipeline).
+
+    ``data``: [num_samples] mono, or [num_samples, num_channels] in the
+    reference's soundfile layout — mono-ized over axis 1 exactly as
+    ``vggish_input.py:48-49`` does (NOT the repo's torchaudio-style
+    [channels, samples]; transpose first if coming from audio_io)."""
     if data.ndim > 1:
-        data = jnp.mean(data, axis=0)
+        data = jnp.mean(data, axis=1)
     assert sample_rate == SAMPLE_RATE, "resample on host before calling"
     log_mel = vggish_log_mel(data)  # [T, 64]
     window = int(round(

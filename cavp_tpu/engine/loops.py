@@ -88,8 +88,8 @@ def make_train_step(
         img_label = batch["img_label"]
         B = image.shape[0]
 
-        k_shuffle, k_ow, k_ctr = jax.random.split(
-            jax.random.fold_in(rng, state.step), 3)
+        k_shuffle, k_ow, k_ctr, k_drop = jax.random.split(
+            jax.random.fold_in(rng, state.step), 4)
 
         ow_flag = epoch >= 1
 
@@ -130,7 +130,8 @@ def make_train_step(
         def loss_fn(params):
             (logits2b, fused2b, pack), mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                image, audio, eval_mode=False, mutable=["batch_stats"])
+                image, audio, eval_mode=False, mutable=["batch_stats"],
+                rngs={"dropout": k_drop})  # HRNet/OCR head Dropout2d
             output = logits2b[:B]  # + 0*logits2b[B:] — identical gradient
             l_ce = cross_entropy(output, pix_label)
             l_ctr, aux = corocl_loss(
@@ -195,10 +196,13 @@ def _make_baseline_train_step(model, tx, config):
         image = batch["image"]
         pix_label = batch["pix_label"]
 
+        k_drop = jax.random.fold_in(rng, state.step)
+
         def loss_fn(params):
             (logits, _, _), mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                image, None, eval_mode=False, mutable=["batch_stats"])
+                image, None, eval_mode=False, mutable=["batch_stats"],
+                rngs={"dropout": k_drop})  # HRNet/OCR head Dropout2d
             l_ce = cross_entropy(logits, pix_label)
             return l_ce, mutated["batch_stats"]
 

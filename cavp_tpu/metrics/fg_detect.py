@@ -1,9 +1,9 @@
 """Foreground detection metrics (FDR / F1 / F0.3) via confusion matrix.
 
 Rebuilds ``utils/eval_utils.py:100-156`` (``ForegroundDetect``):
-per-frame confusion accumulation (numpy.bincount in the reference, a
-scatter-add here, fully on device) and the FDR / F-beta readouts with
-NaN-mean semantics over classes.
+per-frame confusion accumulation (numpy.bincount in the reference; a
+scatter-free one-hot matmul here, fully on device — CLAUDE.md rule) and
+the FDR / F-beta readouts with NaN-mean semantics over classes.
 """
 
 from __future__ import annotations

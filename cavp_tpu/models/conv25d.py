@@ -48,21 +48,45 @@ class Conv2_5D(nn.Module):
 
         patches = _unfold3x3(x)                       # [B,H,W,9,C]
         dpatch = _unfold3x3(depth[..., None])[..., 0]  # [B,H,W,9]
-        center = dpatch[..., 4:5]
 
-        if self.mode == "depth":
-            # grid threshold ~ depth * pixel_size (one world-grid cell)
-            grid = jnp.maximum(center * self.pixel_size, 1e-6)
-            rel = (dpatch - center) / grid
-        else:  # disparity: nearer planes have larger disparity
-            grid = jnp.maximum(jnp.abs(center) * self.pixel_size, 1e-6)
-            rel = (center - dpatch) / grid
+        def _bcast(v):  # camera scalar (or per-sample [B]) -> [B,1,1,1]
+            return jnp.asarray(v, jnp.float32).reshape(-1, 1, 1, 1)
 
-        # plane masks: behind / same / front
-        front = (rel < -0.5).astype(jnp.float32)
-        same = (jnp.abs(rel) <= 0.5).astype(jnp.float32)
-        behind = (rel > 0.5).astype(jnp.float32)
-        masks = jnp.stack([front, same, behind], axis=-2)  # [B,H,W,3,9]
+        cp = camera_params or self.camera_params or {}
+        fx = _bcast(cp.get("intrinsic", {}).get("fx", 1.0)) \
+            if isinstance(cp, dict) else _bcast(1.0)
+
+        valid = None
+        if self.mode == "disp":
+            # conv_2_5d.py:66-80: zero disparity is invalid (forced onto
+            # the center plane below); disparity -> metric depth via
+            # baseline*fx / clamp(disp, 0.01, 256)
+            baseline = _bcast(cp.get("extrinsic", {}).get("baseline", 1.0))
+            valid = (dpatch != 0).astype(jnp.float32)
+            valid = valid * valid[..., 4:5]
+            depth_m = (baseline * fx) / jnp.clip(dpatch * valid, 0.01, 256.0)
+            center = depth_m[..., 4:5]
+            grid = self.pixel_size * center / fx  # dilation=1 (3x3 here)
+        else:
+            # conv_2_5d.py:163-171
+            depth_m = dpatch
+            center = dpatch[..., 4:5]
+            grid = self.pixel_size * center / fx
+
+        # Three BOUNDED bands, one grid cell apart: |d - (c±g)| <= g/2
+        # and |d - c| <= g/2. Taps outside every band contribute to NO
+        # plane (unlike half-spaces, which would always assign one).
+        mask0 = (jnp.abs(depth_m - (center + grid)) <= grid / 2)
+        mask1 = (jnp.abs(depth_m - center) <= grid / 2)
+        mask2 = (jnp.abs(depth_m - (center - grid)) <= grid / 2)
+        mask0 = mask0.astype(jnp.float32)
+        mask1 = mask1.astype(jnp.float32)
+        mask2 = mask2.astype(jnp.float32)
+        if valid is not None:
+            # invalid taps default to the center plane (conv_2_5d.py:80)
+            mask1 = jnp.clip(mask1 + 1.0 - valid, 0.0, 1.0)
+        # plane order matches the reference's weight_0/1/2
+        masks = jnp.stack([mask0, mask1, mask2], axis=-2)  # [B,H,W,3,9]
 
         kf = k.reshape(3, 9, C, self.features)
         out = jnp.einsum("bhwpn,bhwnc,pncf->bhwf",

@@ -96,8 +96,10 @@ class DeepLabV3Plus(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        # hidden_channels stays at the reference's default 256 for EVERY
+        # variant — encoder_decoder.py:82 never passes it, so even the
+        # aspp_out_plane=64 paths (PVT, resnet18) run 256-wide branches
         self.aspp = ASPP(out_channels=self.aspp_out_plane,
-                         hidden_channels=self.aspp_out_plane,
                          axis_name=self.axis_name, dtype=self.dtype)
         self.reduce_conv = Conv(48, 1, use_bias=False, dtype=self.dtype)
         self.reduce_bn = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)

@@ -202,6 +202,9 @@ class HRNetW48Head(nn.Module):
         self.last_conv = Conv(720, 3, padding=1, use_bias=True,
                               dtype=self.dtype)
         self.last_bn = BatchNorm(axis_name=self.axis_name, dtype=self.dtype)
+        # hrnetv2_w48.py:22 Dropout2d(0.10): drops whole channels —
+        # broadcast over the NHWC spatial dims
+        self.drop = nn.Dropout(0.10, broadcast_dims=(1, 2))
         self.classifier = Conv(self.num_classes, 1, use_bias=False,
                                dtype=self.dtype)
 
@@ -215,6 +218,7 @@ class HRNetW48Head(nn.Module):
     def upsample(self, x, train: bool):
         f = self.last_conv(x)
         f = nn.relu(self.last_bn(f, not train))
+        f = self.drop(f, deterministic=not train)
         return self.classifier(f)
 
     def __call__(self, feats, train: bool = False):

@@ -106,6 +106,9 @@ class OCRHead(nn.Module):
                                          dtype=self.dtype)
         self.bottleneck = _ConvBNReLU(512, kernel=1, axis_name=self.axis_name,
                                       dtype=self.dtype)
+        # ocr_module.py:195-200 conv_bn_dropout ends in Dropout2d(0.05):
+        # channel dropout — broadcast over the NHWC spatial dims
+        self.bottleneck_drop = nn.Dropout(0.05, broadcast_dims=(1, 2))
         self.aux_conv = _ConvBNReLU(720, kernel=3, axis_name=self.axis_name,
                                     dtype=self.dtype)
         self.aux_cls = Conv(self.num_classes, 1, use_bias=True,
@@ -127,6 +130,7 @@ class OCRHead(nn.Module):
         context = self.gather(f, out_aux)
         attn = self.attention(f, context, train)
         f = self.bottleneck(jnp.concatenate([attn, f], axis=-1), train)
+        f = self.bottleneck_drop(f, deterministic=not train)
         return f
 
     def upsample(self, x, train: bool):

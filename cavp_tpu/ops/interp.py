@@ -84,10 +84,10 @@ def interpolate_bilinear(
 
 
 def interpolate_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """[..., H, W] or [..., H, W, C] -> resized, torch nearest parity.
+    """[..., H, W] -> resized on the LAST TWO axes, torch nearest parity.
 
-    Operates on the last two axes when x has no channel dim (labels), or
-    on (-3, -2) when a trailing channel exists — pass labels as [..., H, W].
+    There is no channel-aware path: pass labels/maps with H, W trailing
+    (an NHWC tensor here would silently resize W and C).
     """
     h_axis, w_axis = x.ndim - 2, x.ndim - 1
     rows = jnp.asarray(_nearest_coords(x.shape[h_axis], size[0]))

@@ -192,7 +192,9 @@ class DeepLabV3Plus(nn.Module):
     def __init__(self, num_classes, aspp_in=2048, aspp_out=256):
         super().__init__()
         conv_in = 112 if aspp_out == 64 else 304
-        self.aspp = ASPP(aspp_in, aspp_out, hidden=aspp_out)
+        # reference never passes hidden_channels: 256 for every variant
+        # (encoder_decoder.py:82,113)
+        self.aspp = ASPP(aspp_in, aspp_out)
         self.reduce = nn.Sequential(
             nn.Conv2d(aspp_out, 48, 1, bias=False),
             nn.BatchNorm2d(48), nn.ReLU(),

@@ -197,9 +197,11 @@ class Engine:
         self.iteration = iteration
 
     def save(self, state, name: Optional[str] = None,
-             blocking: bool = True) -> str:
+             blocking: bool = True,
+             extra_metrics: Optional[Dict[str, Any]] = None) -> str:
         name = name or f"epoch-{self.epoch}"
+        extra = {"epoch": self.epoch, "iteration": self.iteration}
+        if extra_metrics:
+            extra.update(extra_metrics)
         return save_and_link_checkpoint(
-            self.ckpt_dir, name, state,
-            extra={"epoch": self.epoch, "iteration": self.iteration},
-            blocking=blocking)
+            self.ckpt_dir, name, state, extra=extra, blocking=blocking)

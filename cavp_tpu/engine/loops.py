@@ -192,7 +192,7 @@ def _make_baseline_train_step(model, tx, config):
     no contrastive terms."""
 
     def train_step(state, batch, rng, epoch):
-        del rng, epoch
+        del epoch
         image = batch["image"]
         pix_label = batch["pix_label"]
 

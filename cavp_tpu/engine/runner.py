@@ -45,6 +45,16 @@ from cavp_tpu.parallel import (
 )
 from cavp_tpu.utils import Tensorboard, logger, suppress_non_primary
 
+# Remote-TPU compiles take minutes for the big conv towers (CLAUDE.md);
+# every entry point funnels through this module, so set the persistent
+# compile cache here — unless the caller (tests, bench) already chose one.
+try:
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 
 def build_model(config: Config, baseline: bool = False):
     """main_avss_resize.py:92-116 model construction."""
@@ -108,8 +118,21 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
         jax.config.update("jax_debug_nans", True)
     mesh = _make_mesh(config)
 
+    # --batch_size is PER-WORKER exactly as in the reference: each of
+    # the --gpus x --nodes DDP workers loads batch_size items (global
+    # batch = B x world), which is what makes the reference's
+    # lr *= gpus (main_avss.py:214, applied in flags.py) genuine linear
+    # scaling. Here the global batch shards over the mesh and each host
+    # process loads its share.
+    global_batch = _global_batch(config)
+    per_process = max(global_batch // max(jax.process_count(), 1), 1)
+
     train_ds, test_ds, train_collate = make_datasets(config)
-    steps_per_epoch = max(len(train_ds) // config.batch_size, 1)
+    # one epoch = len / global_batch optimizer steps regardless of the
+    # process count (each process iterates len/P items in per-process
+    # chunks) — dividing by the per-process batch would stretch the LR
+    # schedule and mis-place epoch resume by a factor of P
+    steps_per_epoch = max(len(train_ds) // global_batch, 1)
     if max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
 
@@ -118,8 +141,13 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     state = init_state(config, model, tx, mesh)
     ckpt_path = getattr(config, "ckpt_path", "")
     start_epoch = 0
+    resume_best_iou = 0.0
     if ckpt_path:
-        state = _restore_into_state(state, ckpt_path, mesh)
+        state, ckpt_extra = _restore_into_state(state, ckpt_path, mesh,
+                                                seg_model=config.seg_model)
+        # resuming must not let a worse post-resume validation clobber
+        # the saved best_model: restore the best metric too
+        resume_best_iou = float(ckpt_extra.get("best_iou", 0.0))
         # resume the epoch counter too (reference persists 'epoch' in
         # the checkpoint, engine/engine.py:96): without it the loop
         # would replay epochs 0..N and re-disable the epoch>=1
@@ -140,7 +168,7 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     engine = Engine(config, ckpt_dir)
 
     train_loader = DataLoader(
-        train_ds, config.batch_size, train_collate, shuffle=True,
+        train_ds, per_process, train_collate, shuffle=True,
         drop_last=True, num_workers=config.num_workers, seed=config.seed,
         process_index=jax.process_index(), process_count=jax.process_count())
     if eval_collate is collate_eval_videos and eval_batch_size == 1 and \
@@ -184,7 +212,8 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
         state, best_iou = _epoch_loop(
             config, model, state, mesh, engine, wandb_, train_loader,
             test_loader, train_step, schedule, rng, start_epoch,
-            steps_per_epoch, max_steps_per_epoch, profile_dir)
+            steps_per_epoch, max_steps_per_epoch, profile_dir,
+            best_iou0=resume_best_iou)
     finally:
         # join any in-flight async checkpoint write even when the loop
         # raised (NaN guard, preemption): the atomic swap means the last
@@ -202,12 +231,29 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
 
 def _epoch_loop(config, model, state, mesh, engine, wandb_, train_loader,
                 test_loader, train_step, schedule, rng, start_epoch,
-                steps_per_epoch, max_steps_per_epoch, profile_dir):
-    best_iou = 0.0
+                steps_per_epoch, max_steps_per_epoch, profile_dir,
+                best_iou0: float = 0.0):
+    best_iou = best_iou0
+    step_no = int(state.step)
+
+    def _emit(pending):
+        """Materialize + upload a PREVIOUS step's metrics. Reading the
+        just-dispatched step's values would block async dispatch every
+        iteration (display_iter defaults to 1 for reference CLI parity);
+        by the next display point the values are long since computed,
+        so this one-step-lagged read costs nothing."""
+        s, pm = pending
+        m = {k: float(v) for k, v in pm.items()}
+        m.update({k: float(v) for k, v in
+                  current_lrs(schedule, config, s).items()})
+        if wandb_:
+            wandb_.upload_metrics(m, step=s)
+
     for epoch in range(start_epoch, config.epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
         n = 0
+        pending = None
         for batch_idx, batch in enumerate(train_loader):
             if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
                 break
@@ -217,21 +263,23 @@ def _epoch_loop(config, model, state, mesh, engine, wandb_, train_loader,
             batch = shard_batch(batch, mesh)
             state, metrics = train_step(state, batch, rng,
                                         jnp.asarray(epoch))
+            step_no += 1
             if profile_dir and epoch == 0 and batch_idx == 15:
                 jax.block_until_ready(metrics["loss/loss"])
                 jax.profiler.stop_trace()
             engine.update_iteration(epoch, epoch * steps_per_epoch + batch_idx)
             n += 1
             if is_primary() and batch_idx % config.display_iter == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                m.update({k: float(v) for k, v in current_lrs(
-                    schedule, config, int(state.step)).items()})
-                if wandb_:
-                    wandb_.upload_metrics(m, step=int(state.step))
+                if pending is not None:
+                    _emit(pending)
+                pending = (step_no, metrics)
+        if is_primary() and pending is not None:
+            _emit(pending)  # flush the last window at the epoch barrier
         dt = time.time() - t0
+        per_proc = _global_batch(config) // max(jax.process_count(), 1)
         logger.info(
             f"epoch {epoch}: {n} steps in {dt:.1f}s "
-            f"({n * config.batch_size / max(dt, 1e-9):.2f} img/s)")
+            f"({n * per_proc / max(dt, 1e-9):.2f} img/s this process)")
 
         if test_loader is not None and (epoch % 5 == 0 or epoch >= 50):
             # every process evaluates its shard; metrics merge inside
@@ -252,24 +300,28 @@ def _epoch_loop(config, model, state, mesh, engine, wandb_, train_loader,
                     if not config.ignore_ckpt:
                         # async write: training rolls into the next epoch
                         # while orbax serializes (D2H already done)
-                        engine.save(state, "best_model", blocking=False)
+                        engine.save(state, "best_model", blocking=False,
+                                    extra_metrics={"best_iou": best_iou})
             if wandb_:
                 wandb_.upload_metrics(results, step=int(state.step))
     return state, best_iou
 
 
-def _restore_into_state(state, ckpt_path: str, mesh):
+def _restore_into_state(state, ckpt_path: str, mesh,
+                        seg_model: str = "DeepLabV3Plus"):
     """Resume: orbax checkpoints restore the full train state (params,
     opt_state, step, sound_bank — preemption recovery the reference
-    lacks, SURVEY.md §5.3); torch .pth restores model variables only."""
+    lacks, SURVEY.md §5.3); torch .pth restores model variables only.
+    Returns (state, extra) where extra carries the saved run metadata
+    (epoch/iteration/best_iou)."""
     if ckpt_path.endswith((".pth", ".pt")):
         params, batch_stats, report = load_model_variables(
-            ckpt_path, state.params, state.batch_stats)
+            ckpt_path, state.params, state.batch_stats, seg_model=seg_model)
         if report["unexpected"]:
             logger.warning("unconverted torch keys: %s"
                            % report["unexpected"][:10])
         return state.replace(params=replicate(params, mesh),
-                             batch_stats=replicate(batch_stats, mesh))
+                             batch_stats=replicate(batch_stats, mesh)), {}
     from cavp_tpu.engine.checkpoint import restore_checkpoint
 
     payload = restore_checkpoint(ckpt_path)
@@ -283,6 +335,7 @@ def _restore_into_state(state, ckpt_path: str, mesh):
     )
     if "sound_bank" in payload and state.sound_bank is not None:
         new = new.replace(sound_bank=replicate(payload["sound_bank"], mesh))
+    return new, dict(payload.get("extra") or {})
     return new
 
 
@@ -302,19 +355,26 @@ def select_display_palette(config):
     return get_display_palette(max(config.num_classes, 2))
 
 
+def _global_batch(config: Config) -> int:
+    """batch_size x gpus x nodes — the reference's global batch (one
+    per-worker batch per DDP process)."""
+    return config.batch_size * max(config.gpus, 1) * max(config.nodes, 1)
+
+
 def _make_mesh(config: Config):
     """--gpus selects the data-parallel width (reference: process count);
-    clamped to available devices and to a divisor of the batch size.
-    Multi-slice: --nodes > 1 (the reference's world-size multiplier,
-    main_avss.py:216) or devices spanning several ``slice_index`` groups
-    select the hierarchical (dcn, ici) mesh so gradient collectives
-    reduce over ICI before crossing DCN."""
-    import math
-
+    clamped to available devices and to the largest divisor of the
+    GLOBAL batch that fits (gcd would silently under-select: gcd(6,8)=2
+    wastes 2 of 6 requested devices where 4 fit, largest-divisor picks
+    them). Multi-slice: --nodes > 1 (the reference's world-size
+    multiplier, main_avss.py:216) or devices spanning several
+    ``slice_index`` groups select the hierarchical (dcn, ici) mesh so
+    gradient collectives reduce over ICI before crossing DCN."""
     devices = jax.devices()
     n = min(config.gpus * max(config.nodes, 1), len(devices))
-    n = math.gcd(max(n, 1), config.batch_size)
     n = max(n, 1)
+    target = _global_batch(config)
+    n = max(d for d in range(1, n + 1) if target % d == 0)
     slice_ids = {getattr(d, "slice_index", None) for d in devices[:n]}
     want_slices = config.nodes if config.nodes > 1 else len(
         slice_ids - {None})

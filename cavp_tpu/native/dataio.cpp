@@ -262,10 +262,11 @@ int decode_image_impl(const char* path, int H, int W, const float* mean,
   resize_bicubic(img, H, W, &resized);
   for (size_t i = 0; i < size_t(H) * W; i++) {
     for (int ch = 0; ch < 3; ch++) {
-      float v = resized[i * 3 + ch] / 255.0f;
-      // PIL resize clamps to u8 before ToTensor; match that rounding
-      v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
-      out[i * 3 + ch] = (v - mean[ch]) / stdv[ch];
+      // PIL materializes the resized image as uint8 (round-to-nearest,
+      // clamped) before ToTensor divides by 255; match both steps
+      float v = roundf(resized[i * 3 + ch]);
+      v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+      out[i * 3 + ch] = (v / 255.0f - mean[ch]) / stdv[ch];
     }
   }
   return 0;

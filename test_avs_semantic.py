@@ -12,7 +12,7 @@ from cavp_tpu.config import load_args_and_config
 from cavp_tpu.data import AVSSDataset, DataLoader, collate_eval_videos
 from cavp_tpu.engine import load_model_variables, make_optimizer
 from cavp_tpu.engine.runner import build_model, init_state, run_validation
-from cavp_tpu.parallel import create_mesh, initialize_distributed
+from cavp_tpu.parallel import create_mesh, initialize_distributed, replicate
 from cavp_tpu.utils import logger
 
 
@@ -26,13 +26,16 @@ def main():
 
     ckpt = getattr(config, "ckpt_path", "") or "./avss_224.pth"
     params, batch_stats, report = load_model_variables(
-        ckpt, state.params, state.batch_stats)
+        ckpt, state.params, state.batch_stats,
+        seg_model=config.seg_model)
     if report["unexpected"]:
         logger.warning(f"unconverted torch keys: {report['unexpected'][:10]}")
     if report["missing"]:
         logger.warning(f"unfilled flax leaves: {report['missing'][:10]}")
-    state = state.replace(params=jax.device_put(params),
-                          batch_stats=jax.device_put(batch_stats))
+    # replicate over the mesh — a bare device_put commits to one
+    # device and clashes with mesh-sharded eval batches
+    state = state.replace(params=replicate(params, mesh),
+                          batch_stats=replicate(batch_stats, mesh))
 
     test_ds = AVSSDataset(config, "test")
     videos_per_batch = 8 if config.resize_flag else 1

@@ -12,7 +12,7 @@ from cavp_tpu.config import load_args_and_config
 from cavp_tpu.data import DataLoader, MS3Dataset, S4Dataset, collate_eval_videos
 from cavp_tpu.engine import load_model_variables, make_optimizer
 from cavp_tpu.engine.runner import build_model, init_state, run_jf_test
-from cavp_tpu.parallel import create_mesh
+from cavp_tpu.parallel import create_mesh, replicate
 from cavp_tpu.utils import logger
 
 
@@ -27,11 +27,14 @@ def main():
 
     ckpt = getattr(config, "ckpt_path", "") or "./cavp_avsobj_ss.pth"
     params, batch_stats, report = load_model_variables(
-        ckpt, state.params, state.batch_stats)
+        ckpt, state.params, state.batch_stats,
+        seg_model=config.seg_model)
     if report["unexpected"]:
         logger.warning(f"unconverted torch keys: {report['unexpected'][:10]}")
-    state = state.replace(params=jax.device_put(params),
-                          batch_stats=jax.device_put(batch_stats))
+    # replicate over the mesh — a bare device_put commits to one
+    # device and clashes with mesh-sharded eval batches
+    state = state.replace(params=replicate(params, mesh),
+                          batch_stats=replicate(batch_stats, mesh))
 
     if config.avsbench_split == "v1s":
         test_ds = S4Dataset(config, "test")

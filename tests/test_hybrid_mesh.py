@@ -65,6 +65,22 @@ class TestHybridMeshConstruction:
         cfg1 = get_config("avss").replace(gpus=8, nodes=1, batch_size=8)
         assert _make_mesh(cfg1).devices.ndim == 1
 
+    def test_mesh_width_largest_divisor_not_gcd(self):
+        """--gpus 6 --batch_size 8: global batch 48 splits over 6
+        devices; gcd(6, 8)=2 would silently waste 4 of them."""
+        cfg = get_config("avss").replace(gpus=6, nodes=1, batch_size=8)
+        assert _make_mesh(cfg).devices.size == 6
+
+    def test_global_batch_is_per_worker_times_world(self):
+        """The reference's batch_size is per-DDP-worker; lr *= gpus is
+        linear scaling only if the global batch scales with gpus too."""
+        from cavp_tpu.engine.runner import _global_batch
+
+        cfg = get_config("avss").replace(gpus=8, nodes=2, batch_size=16)
+        assert _global_batch(cfg) == 16 * 8 * 2
+        assert _global_batch(get_config("avss").replace(
+            gpus=1, nodes=1, batch_size=16)) == 16
+
 
 class TestHybridEquivalence:
     """Gradients AND cross-replica BN statistics must be identical over

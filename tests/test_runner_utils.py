@@ -10,11 +10,14 @@ from cavp_tpu.engine.runner import _make_mesh, _pad_to_devices
 
 class TestMakeMesh:
     def test_clamps_to_devices_and_batch(self):
+        from cavp_tpu.engine.runner import _global_batch
+
         cfg = get_config("avss").replace(gpus=64, batch_size=6)
         mesh = _make_mesh(cfg)
         n = mesh.devices.size
         assert n <= len(jax.devices())
-        assert 6 % n == 0
+        # the GLOBAL batch (per-worker x world) shards over the mesh
+        assert _global_batch(cfg) % n == 0
 
     def test_single_device_default(self):
         cfg = get_config("avss").replace(gpus=1, batch_size=16)

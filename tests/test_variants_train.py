@@ -69,7 +69,7 @@ class TestResume:
 
         fresh = state  # pre-training state
         mesh = create_mesh(num_devices=1)
-        restored = _restore_into_state(fresh, path, mesh)
+        restored, _ = _restore_into_state(fresh, path, mesh)
         assert int(restored.step) == int(trained.step)
         a = jax.tree_util.tree_leaves(trained.params)
         b = jax.tree_util.tree_leaves(restored.params)

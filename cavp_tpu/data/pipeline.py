@@ -38,6 +38,8 @@ def shard_indices(n: int, process_index: int, process_count: int,
     required for process-sharded *evaluation*, where the torch-style
     duplicate padding would double-count items in the merged metrics.
     """
+    if n == 0:
+        return []
     idx = list(range(n))
     if shuffle:
         random.Random(seed).shuffle(idx)

@@ -125,7 +125,13 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     # scaling. Here the global batch shards over the mesh and each host
     # process loads its share.
     global_batch = _global_batch(config)
-    per_process = max(global_batch // max(jax.process_count(), 1), 1)
+    pc = max(jax.process_count(), 1)
+    if global_batch % pc != 0:
+        raise ValueError(
+            f"global batch {global_batch} (batch_size x gpus x nodes) "
+            f"must divide by the process count {pc} — each host process "
+            f"loads an equal share")
+    per_process = global_batch // pc
 
     train_ds, test_ds, train_collate = make_datasets(config)
     # one epoch = len / global_batch optimizer steps regardless of the
@@ -336,7 +342,6 @@ def _restore_into_state(state, ckpt_path: str, mesh,
     if "sound_bank" in payload and state.sound_bank is not None:
         new = new.replace(sound_bank=replicate(payload["sound_bank"], mesh))
     return new, dict(payload.get("extra") or {})
-    return new
 
 
 def select_display_palette(config):

@@ -28,8 +28,16 @@ def create_train_state(model, tx, rng, sample_batch, config) -> TrainState:
     bank = None
     if config is not None:
         from cavp_tpu.models.soundbank import init_bank
-        bank = init_bank(config.num_classes, config.batch_size,
-                         config.audio_samples)
+
+        # Bank depth matches the aggregate of the reference's per-worker
+        # banks: each of gpus x nodes DDP workers keeps a batch_size-deep
+        # FIFO fed batch_size items/step (trainer_cavp_vpo_stereo.py:
+        # 30-36). Our single replicated bank sees the GLOBAL batch per
+        # step, so depth scales with the world or eviction runs
+        # world-times faster than the reference.
+        depth = config.batch_size * max(getattr(config, "gpus", 1), 1) \
+            * max(getattr(config, "nodes", 1), 1)
+        bank = init_bank(config.num_classes, depth, config.audio_samples)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

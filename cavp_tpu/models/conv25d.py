@@ -53,15 +53,21 @@ class Conv2_5D(nn.Module):
             return jnp.asarray(v, jnp.float32).reshape(-1, 1, 1, 1)
 
         cp = camera_params or self.camera_params or {}
-        fx = _bcast(cp.get("intrinsic", {}).get("fx", 1.0)) \
-            if isinstance(cp, dict) else _bcast(1.0)
+
+        def _cam(group, key, default):
+            try:
+                return cp[group][key]
+            except (KeyError, TypeError, IndexError):
+                return default
+
+        fx = _bcast(_cam("intrinsic", "fx", 1.0))
 
         valid = None
         if self.mode == "disp":
             # conv_2_5d.py:66-80: zero disparity is invalid (forced onto
             # the center plane below); disparity -> metric depth via
             # baseline*fx / clamp(disp, 0.01, 256)
-            baseline = _bcast(cp.get("extrinsic", {}).get("baseline", 1.0))
+            baseline = _bcast(_cam("extrinsic", "baseline", 1.0))
             valid = (dpatch != 0).astype(jnp.float32)
             valid = valid * valid[..., 4:5]
             depth_m = (baseline * fx) / jnp.clip(dpatch * valid, 0.01, 256.0)
@@ -96,8 +102,9 @@ class Conv2_5D(nn.Module):
 
 
 class Conv2_5D_depth(Conv2_5D):
-    mode: str = "depth"
+    mode: str = "depth"  # reference default pixel_size=1 (conv_2_5d.py:109)
 
 
 class Conv2_5D_disp(Conv2_5D):
     mode: str = "disp"
+    pixel_size: float = 16.0  # reference default (conv_2_5d.py:26)

@@ -88,9 +88,14 @@ class TestConv25D:
                            "extrinsic": {"baseline": baseline}})
         rng2 = np.random.RandomState(0)
         x = rng2.randn(1, 6, 6, 4).astype(np.float32)
+        # Conv2_5D_disp defaults pixel_size=16 (conv_2_5d.py:26; depth
+        # mode defaults to 1 at :109)
+        from cavp_tpu.models.conv25d import Conv2_5D_depth, Conv2_5D_disp
+        assert Conv2_5D_disp(features=1).pixel_size == 16.0
+        assert Conv2_5D_depth(features=1).pixel_size == 1.0
         ref = _reference_conv25d(x[0].astype(np.float64),
                                  disp.astype(np.float64), k, b,
-                                 "disp", fx, baseline)
+                                 "disp", fx, baseline, pixel_size=16.0)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
     def test_far_taps_hit_no_plane(self):

@@ -176,8 +176,25 @@ def load_model_variables(path: str, params, batch_stats,
             seg_model=seg_model)
         return params, batch_stats, report
     payload = restore_checkpoint(path)
-    return payload["params"], payload["batch_stats"], {
-        "missing": [], "unexpected": [], "converted": ["<orbax>"]}
+    # strict-with-report for orbax too: a checkpoint saved under a
+    # different config must fail HERE with key/shape names, not later
+    # with an opaque XLA shape error (or silently serve wrong weights)
+    def _flat(tree):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in kp):
+            np.shape(v)
+            for kp, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    report = {"missing": [], "unexpected": [], "converted": ["<orbax>"]}
+    for name, have, want in (("params", payload["params"], params),
+                             ("batch_stats", payload["batch_stats"],
+                              batch_stats)):
+        fh, fw = _flat(have), _flat(want)
+        report["missing"] += [f"{name}/{k}" for k in fw if k not in fh]
+        report["unexpected"] += [
+            f"{name}/{k}" for k, s in fh.items()
+            if k not in fw or fw[k] != s]
+    return payload["params"], payload["batch_stats"], report
 
 
 class Engine:

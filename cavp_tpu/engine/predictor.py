@@ -103,11 +103,29 @@ class Predictor:
                 return b
         return self.batch_sizes[-1]
 
+    def expected_shapes(self) -> Tuple[Tuple[int, int, int],
+                                       Tuple[int, int]]:
+        """((H, W, 3), (Cin, L)) this predictor's compiles accept."""
+        return ((self.config.image_height, self.config.image_width, 3),
+                (self.config.in_plane, self.config.audio_samples))
+
     def predict(self, images: np.ndarray, waveforms: np.ndarray
                 ) -> Dict[str, np.ndarray]:
         """images: [N, H, W, 3] uint8; waveforms: [N, Cin, L] float32
         (16 kHz). Returns {"mask": [N, H, W] int32, "probs": optional}.
-        Requests larger than the biggest bucket are chunked."""
+        Requests larger than the biggest bucket are chunked. Off-config
+        shapes are rejected — each stray shape would otherwise trigger a
+        fresh jit compile (minutes on a remote TPU), breaking the
+        fixed-compiled-shapes serving contract."""
+        img_shape, wav_shape = self.expected_shapes()
+        if tuple(images.shape[1:]) != img_shape:
+            raise ValueError(
+                f"image shape {tuple(images.shape[1:])} != compiled "
+                f"{img_shape}")
+        if tuple(waveforms.shape[1:]) != wav_shape:
+            raise ValueError(
+                f"waveform shape {tuple(waveforms.shape[1:])} != compiled "
+                f"{wav_shape}")
         n = images.shape[0]
         masks, probs = [], []
         start = 0

@@ -56,8 +56,13 @@ class DynamicBatcher:
     """
 
     def __init__(self, predict_fn, max_batch: int = 8,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, expected_shapes=None):
         self._predict = predict_fn
+        # ((H, W, 3), (Cin, L)) — when set, submit() rejects off-shape
+        # requests up front: coalescing mixed shapes would crash the
+        # worker on concatenate, and each stray shape would trigger a
+        # fresh device compile inside the single batching thread
+        self.expected_shapes = expected_shapes
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1000.0
         self._q: "queue.Queue[Optional[_WorkItem]]" = queue.Queue()
@@ -73,6 +78,16 @@ class DynamicBatcher:
             raise ValueError("images must be [N,H,W,3], waveforms [N,C,L]")
         if images.shape[0] != waveforms.shape[0]:
             raise ValueError("images/waveforms batch mismatch")
+        if self.expected_shapes is not None:
+            img_shape, wav_shape = self.expected_shapes
+            if tuple(images.shape[1:]) != tuple(img_shape):
+                raise ValueError(
+                    f"image shape {tuple(images.shape[1:])} != served "
+                    f"{tuple(img_shape)}")
+            if tuple(waveforms.shape[1:]) != tuple(wav_shape):
+                raise ValueError(
+                    f"waveform shape {tuple(waveforms.shape[1:])} != "
+                    f"served {tuple(wav_shape)}")
         item = _WorkItem(np.ascontiguousarray(images),
                          np.ascontiguousarray(waveforms))
         with self._lock:
@@ -124,9 +139,11 @@ class DynamicBatcher:
             items = self._gather()
             if items is None:
                 return
-            images = np.concatenate([it.images for it in items])
-            waves = np.concatenate([it.waveforms for it in items])
             try:
+                # inside the try: a mixed-shape concatenate failure must
+                # fail the requests, never kill the worker thread
+                images = np.concatenate([it.images for it in items])
+                waves = np.concatenate([it.waveforms for it in items])
                 out = self._predict(images, waves)
             except Exception as exc:  # deliver the failure per request
                 for it in items:
@@ -217,8 +234,12 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
     """
     if max_batch is None:
         max_batch = max(getattr(predictor, "batch_sizes", [8]))
+    shapes = None
+    if hasattr(predictor, "expected_shapes"):
+        shapes = predictor.expected_shapes()
     batcher = DynamicBatcher(predictor.predict, max_batch=max_batch,
-                             max_wait_ms=max_wait_ms)
+                             max_wait_ms=max_wait_ms,
+                             expected_shapes=shapes)
     handler = type("BoundHandler", (_Handler,), {"batcher": batcher})
     server = ThreadingHTTPServer((host, port), handler)
     return server, batcher

@@ -82,7 +82,9 @@ def initialize_distributed(**kwargs) -> None:
                 "already initialized; continuing single-process (call "
                 "initialize_distributed() before any JAX op to fix)")
             return
-    except ImportError:
+    except (ImportError, AttributeError):
+        # the backends_are_initialized probe is a private jax API and
+        # purely advisory — never let its absence crash the bootstrap
         pass
     jax.distributed.initialize(**kwargs)
 

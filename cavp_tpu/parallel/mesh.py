@@ -146,5 +146,3 @@ def localize_replicated(tree):
     return jax.tree_util.tree_map(conv, tree)
 
 
-def pad_to_multiple(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m

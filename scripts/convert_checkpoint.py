@@ -26,6 +26,16 @@ sys.path.insert(0, ".")
 def main():
     import jax
 
+    # conversion is pure host work: pin CPU so init/placement never
+    # touches the (possibly tunneled, slow) TPU — without this the
+    # import path paid minutes of remote init compiles plus a full-param
+    # H2D+D2H round trip at tunnel bandwidth for values that are
+    # immediately overwritten
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
     from cavp_tpu.config import load_args_and_config
     from cavp_tpu.engine import load_model_variables, make_optimizer
     from cavp_tpu.engine.checkpoint import save_checkpoint

@@ -47,7 +47,13 @@ def main():
     class Cached:
         """Memoize decoded items: the 1-core tunnel host re-decoding
         224^2 JPEGs every epoch would dominate the smoke's wall clock.
-        Frame selection + shuffle randomness stay live in the collate."""
+        NOTE: train-mode items are single random frames (picked inside
+        AVSSDataset.__getitem__), so caching freezes ONE random frame
+        per training video for the whole run, while validation scores
+        every annotated frame — passing the 0.9 gate therefore requires
+        generalizing across the video's frames on this fixture, a
+        strictly harder bar than literal single-frame overfit (measured
+        0.98+ either way). Batch shuffling stays live."""
 
         def __init__(self, ds):
             self.ds = ds

@@ -56,6 +56,29 @@ class TestCheckpoint:
         payload = restore_checkpoint(os.path.realpath(link))
         assert payload["extra"]["epoch"] == 4
 
+    def test_orbax_load_model_variables_reports_mismatch(self, tiny_state):
+        """The orbax branch must be strict-with-report like the torch
+        branch: a checkpoint saved under a different config surfaces
+        key/shape mismatches instead of an opaque downstream error."""
+        from cavp_tpu.engine.checkpoint import load_model_variables
+
+        d = tempfile.mkdtemp()
+        path = save_checkpoint(os.path.join(d, "ck"), tiny_state)
+        # matching templates -> clean report
+        _, _, rep = load_model_variables(
+            path, tiny_state.params, tiny_state.batch_stats)
+        assert not rep["missing"] and not rep["unexpected"]
+        # wrong-shaped template -> flagged
+        bad = {"layer": {"kernel": jnp.zeros((4, 4)), "bias": jnp.zeros(3)}}
+        _, _, rep = load_model_variables(path, bad, tiny_state.batch_stats)
+        assert any("kernel" in k for k in rep["unexpected"]), rep
+        # extra template leaf -> missing
+        extra = dict(tiny_state.params)
+        extra["other"] = {"w": jnp.zeros(2)}
+        _, _, rep = load_model_variables(path, extra,
+                                         tiny_state.batch_stats)
+        assert any("other" in k for k in rep["missing"]), rep
+
     def test_async_save_roundtrip(self, tiny_state):
         d = tempfile.mkdtemp()
         path = save_checkpoint(os.path.join(d, "ck"), tiny_state,

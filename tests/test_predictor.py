@@ -23,6 +23,12 @@ class TestPredictor:
         # padding must not change the result of a smaller direct call
         out2 = p.predict(images[:2], waves[:2])
         np.testing.assert_array_equal(out["mask"][:2], out2["mask"])
+        # off-config shapes are rejected, never recompiled
+        import pytest
+        with pytest.raises(ValueError, match="compiled"):
+            p.predict(images[:, :32, :32], waves)
+        with pytest.raises(ValueError, match="compiled"):
+            p.predict(images, waves[..., :100])
 
     def test_checkpoint_load_uses_eval_shape_templates(self, tmp_path):
         """With a checkpoint, Predictor must serve the checkpoint's

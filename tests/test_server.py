@@ -139,6 +139,22 @@ class TestHTTPServer:
             urllib.request.urlopen(req, timeout=10)
         assert err.value.code == 400
 
+    def test_off_shape_request_is_400_and_server_survives(self, served):
+        """A wrong-resolution request must be rejected up front (each
+        stray shape would recompile; coalescing mixed shapes would crash
+        the batcher thread) and must NOT take the daemon down."""
+        url, predictor, cfg = served
+        rng = np.random.RandomState(7)
+        bad_img = rng.randint(0, 255, (1, 32, 32, 3), np.uint8)
+        wav = (rng.rand(1, 1, cfg.audio_samples).astype(np.float32))
+        with pytest.raises(urllib.error.HTTPError) as err:
+            self._post(url, bad_img, wav)
+        assert err.value.code == 400
+        # the daemon still serves valid requests afterwards
+        good = rng.randint(0, 255, (1, 64, 64, 3), np.uint8)
+        out = self._post(url, good, wav)
+        assert out["mask"].shape == (1, 64, 64)
+
 
 class TestHTTPStatusCodes:
     """Server-side faults must be 5xx, not 400 (clients would treat the

@@ -117,6 +117,8 @@ class Predictor:
         shapes are rejected — each stray shape would otherwise trigger a
         fresh jit compile (minutes on a remote TPU), breaking the
         fixed-compiled-shapes serving contract."""
+        if images.shape[0] == 0:
+            raise ValueError("empty batch")
         img_shape, wav_shape = self.expected_shapes()
         if tuple(images.shape[1:]) != img_shape:
             raise ValueError(

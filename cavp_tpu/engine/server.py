@@ -78,6 +78,8 @@ class DynamicBatcher:
             raise ValueError("images must be [N,H,W,3], waveforms [N,C,L]")
         if images.shape[0] != waveforms.shape[0]:
             raise ValueError("images/waveforms batch mismatch")
+        if images.shape[0] == 0:
+            raise ValueError("empty batch")
         if self.expected_shapes is not None:
             img_shape, wav_shape = self.expected_shapes
             if tuple(images.shape[1:]) != tuple(img_shape):

@@ -24,17 +24,18 @@ sys.path.insert(0, ".")
 
 
 def main():
-    import jax
+    import os
 
     # conversion is pure host work: pin CPU so init/placement never
     # touches the (possibly tunneled, slow) TPU — without this the
     # import path paid minutes of remote init compiles plus a full-param
     # H2D+D2H round trip at tunnel bandwidth for values that are
-    # immediately overwritten
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    # immediately overwritten. NOTE: importing cavp_tpu re-applies
+    # JAX_PLATFORMS via the config API (CLAUDE.md), so the env var must
+    # be set BEFORE that import and the config re-pinned after.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
 
     from cavp_tpu.config import load_args_and_config
     from cavp_tpu.engine import load_model_variables, make_optimizer
@@ -42,6 +43,14 @@ def main():
     from cavp_tpu.engine.runner import build_model, init_state
     from cavp_tpu.parallel import create_mesh
     from cavp_tpu.utils import logger
+
+    # cavp_tpu import re-applied JAX_PLATFORMS; with the env var set to
+    # cpu above this is now a no-op re-pin, kept for belt-and-braces
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
     extra = argparse.ArgumentParser(add_help=False)
     extra.add_argument("--out", required=True)

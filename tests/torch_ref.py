@@ -347,6 +347,12 @@ class TorchCAVP(nn.Module):
         super().__init__()
         self.latent_dim = 304
         self.backbone = Backbone(visual_backbone, last_three_dilation_stride)
+        # aspp_in is 2048 for every depth here: the reference's "18"
+        # also ends in 2048 channels (its resnet18 builds Bottleneck
+        # [2,2,2,2], resnet.py:204-205) but cavp_model.py:95 passes
+        # aspp_in_plane=512 for it — a latent crash in the reference
+        # (never runnable); the rebuild's working depth-18 config uses
+        # 2048, which is what this replica pairs with
         self.segment = DeepLabV3Plus(num_classes, aspp_in=2048, aspp_out=256)
         self.cross_att = CROSS_ATTENTION(dim_in=304, embed_dim=304, depth=1)
         self.visual_projector = TimmMlp(304, 256, 304)
@@ -374,11 +380,18 @@ class TorchCAVP(nn.Module):
 
 def randomize_bn_stats(model: nn.Module, seed: int = 0):
     """Give every BN nontrivial running stats + affine so eval-mode
-    placement errors cannot hide behind identity statistics."""
+    placement errors cannot hide behind identity statistics — and every
+    LayerNorm nontrivial affine for the same reason: at torch's default
+    weight=1/bias=0, a converter that swapped two same-shape LN affines
+    (norm1<->norm2, wrong block) would pass logit-for-logit while
+    mistranslating real trained checkpoints."""
     g = torch.Generator().manual_seed(seed)
     for m in model.modules():
         if isinstance(m, nn.BatchNorm2d):
             m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.2)
             m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+            m.weight.data.copy_(torch.randn(m.weight.shape, generator=g) * 0.2 + 1.0)
+            m.bias.data.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)
+        elif isinstance(m, nn.LayerNorm):
             m.weight.data.copy_(torch.randn(m.weight.shape, generator=g) * 0.2 + 1.0)
             m.bias.data.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)

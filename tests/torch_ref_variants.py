@@ -25,7 +25,8 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
-from torch_ref import (CROSS_ATTENTION, AudioModel, TimmMlp,
+from torch_ref import (CROSS_ATTENTION, AudioModel, Bottleneck,
+                       TimmMlp,
                        DeepLabV3Plus)
 
 W48 = (48, 96, 192, 384)
@@ -49,23 +50,12 @@ class HRBasic(nn.Module):
         return F.relu(out + r)
 
 
-class HRBottleneck(nn.Module):
-    def __init__(self, inplanes, planes, downsample=None):
-        super().__init__()
-        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
-        self.bn1 = nn.BatchNorm2d(planes)
-        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
-        self.bn2 = nn.BatchNorm2d(planes)
-        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
-        self.bn3 = nn.BatchNorm2d(planes * 4)
-        self.downsample = downsample
-
-    def forward(self, x):
-        r = x if self.downsample is None else self.downsample(x)
-        out = F.relu(self.bn1(self.conv1(x)))
-        out = F.relu(self.bn2(self.conv2(out)))
-        out = self.bn3(self.conv3(out))
-        return F.relu(out + r)
+# hrnet's Bottleneck is torch_ref.Bottleneck at stride=1/dilation=1:
+# identical submodule names, shapes, and forward math — one class to
+# maintain (note the signature difference: downsample is keyword-only
+# here since Bottleneck's third positional is stride)
+def HRBottleneck(inplanes, planes, downsample=None):
+    return Bottleneck(inplanes, planes, downsample=downsample)
 
 
 class HRModule(nn.Module):

@@ -94,7 +94,14 @@ def make_train_step(
         ow_flag = epoch >= 1
 
         # --- shuffle batch construction (trainer_cavp_avss_image.py:178-198)
-        shuffle_idx = jax.random.permutation(k_shuffle, B)
+        # An explicit batch["shuffle_idx"] overrides the on-device
+        # permutation: the torch reference draws it from host RNG
+        # (torch.randperm), so cross-framework train-step parity tests
+        # inject one permutation into both sides.
+        if "shuffle_idx" in batch:
+            shuffle_idx = batch["shuffle_idx"]
+        else:
+            shuffle_idx = jax.random.permutation(k_shuffle, B)
         shuffle_img_label = img_label[shuffle_idx]
         if_match = jnp.all(img_label == shuffle_img_label, axis=1)
         shuffle_wave = waveform[shuffle_idx]
@@ -116,11 +123,19 @@ def make_train_step(
                 sound_bank, waveform.reshape(B, -1), img_label,
                 per_label=False)
 
-        input_wave = jnp.concatenate([waveform, shuffle_wave], axis=0)
-        audio = preprocess_audio(input_wave, n_frames=n_frames,
-                                 spec_min=config.spec_min,
-                                 spec_max=config.spec_max,
-                                 use_pallas=use_pallas)
+        if "mel" in batch:
+            # Parity-harness injection: a precomputed [2B,T,F,C] mel
+            # (matched ‖ shuffled). The mel frontend is f32 internally,
+            # and two separate compilations of it aren't bit-identical —
+            # the fp64 train-parity driver feeds both frameworks one
+            # tensor instead. Production never sets this key.
+            audio = batch["mel"]
+        else:
+            input_wave = jnp.concatenate([waveform, shuffle_wave], axis=0)
+            audio = preprocess_audio(input_wave, n_frames=n_frames,
+                                     spec_min=config.spec_min,
+                                     spec_max=config.spec_max,
+                                     use_pallas=use_pallas)
 
         # shuffle GT rules (trainer_cavp_avss_image.py:209-212)
         gt_shuffle = jnp.where(if_match[:, None, None], pix_label, 0)

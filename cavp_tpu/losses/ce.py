@@ -27,7 +27,7 @@ def cross_entropy(
     num_classes = logits.shape[-1]
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
-    x = logits.astype(jnp.float32)
+    x = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     lse = jax.scipy.special.logsumexp(x, axis=-1)
     picked = jnp.sum(
         x * jax.nn.one_hot(safe, num_classes, dtype=x.dtype), axis=-1)

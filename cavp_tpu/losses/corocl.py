@@ -76,7 +76,7 @@ def corocl_loss(
     gt_s = interpolate_nearest(gt_shuffle, (h, w)).reshape(P)
 
     def _norm(e):
-        e = e.reshape(P, C).astype(jnp.float32)
+        e = e.reshape(P, C).astype(jnp.promote_types(e.dtype, jnp.float32))
         return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
 
     em = _norm(embeds_match)

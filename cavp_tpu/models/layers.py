@@ -29,6 +29,13 @@ from flax import linen as nn
 Dtype = Any
 
 
+def acc_dtype(dtype: Dtype) -> Dtype:
+    """Accumulation dtype for norm/loss math: at least f32 (bf16/f32
+    inputs accumulate in f32, unchanged on TPU), but follows f64 when
+    the x64 train-parity harness drives the model in double."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def _compute_fans(shape: Sequence[int]) -> Tuple[int, int]:
     """fan_in/fan_out for HWIO conv kernels or (in, out) dense kernels."""
     if len(shape) == 2:
@@ -158,12 +165,13 @@ class BatchNorm(nn.Module):
                                lambda s: jnp.ones(s, jnp.float32), (features,))
         dtype = self.dtype or x.dtype
 
+        adt = acc_dtype(x.dtype)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             reduce_axes = tuple(range(x.ndim - 1))
             n = float(np.prod([x.shape[a] for a in reduce_axes]))
-            xf = x.astype(jnp.float32)
+            xf = x.astype(adt)
             s1 = jnp.sum(xf, axis=reduce_axes)
             s2 = jnp.sum(xf * xf, axis=reduce_axes)
             if self.axis_name is not None:
@@ -177,17 +185,18 @@ class BatchNorm(nn.Module):
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
-        inv = jax.lax.rsqrt(var + self.epsilon)
+        inv = jax.lax.rsqrt(var.astype(adt) + self.epsilon)
+        mean = mean.astype(adt)
         scale = inv
         shift = -mean * inv
         if self.use_scale:
             gamma = self.param("scale", nn.initializers.ones, (features,),
-                               self.param_dtype).astype(jnp.float32)
+                               self.param_dtype).astype(adt)
             scale = scale * gamma
             shift = shift * gamma
         if self.use_bias:
             beta = self.param("bias", nn.initializers.zeros, (features,),
-                              self.param_dtype).astype(jnp.float32)
+                              self.param_dtype).astype(adt)
             shift = shift + beta
         # The per-channel affine is computed in f32 but applied in the
         # activation dtype: keeping the elementwise chain in bf16 lets
@@ -209,7 +218,7 @@ class LayerNorm(nn.Module):
                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (features,),
                           self.param_dtype)
-        xf = x.astype(jnp.float32)
+        xf = x.astype(acc_dtype(x.dtype))
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)

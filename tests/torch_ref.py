@@ -377,6 +377,20 @@ class TorchCAVP(nn.Module):
                                align_corners=False)
         return logits, fused, attn_v
 
+    def forward_train(self, image, audio_2b):
+        """cavp_model.py:175-188 (audio_func=False, the trainers' call):
+        the visual feature is duplicated for the matched ‖ shuffled audio
+        batch and the classifier head runs on all 2B samples."""
+        feats = self.backbone(image)
+        fea_v = self.segment.forward_feature(feats)
+        fea_v = torch.cat((fea_v, fea_v.clone()), dim=0)
+        fea_a = self.audio_backbone(audio_2b)
+        fused, attn_v = self.forward_fusion(fea_v, fea_a)
+        logits = self.segment.upsample(fused)
+        logits = F.interpolate(logits, size=image.shape[-2:], mode="bilinear",
+                               align_corners=False)
+        return logits, fused, attn_v
+
 
 def randomize_bn_stats(model: nn.Module, seed: int = 0):
     """Give every BN nontrivial running stats + affine so eval-mode

@@ -90,6 +90,10 @@ def main():
         "value": round(ours, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(ours / ref, 2),
+        # raw emulated-baseline f/s so the run-to-run spread of the
+        # ratio (the per-frame sync pays a full tunnel RTT here; 135-193x
+        # observed across rounds) is visible per run
+        "baseline_fps": round(ref, 2),
     }))
 
 

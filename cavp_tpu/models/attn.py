@@ -52,9 +52,15 @@ class Attention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x_q, x_k, x_v):
+    def __call__(self, x_q, x_k, x_v, dup: int = 1):
+        """``dup > 1``: x_q carries the true batch B while x_k/x_v carry
+        dup*B — the query projection runs once on B and is tiled after
+        (exact: row-wise ops give identical values per row). This is the
+        train-path dedup for the reference's ``cat((fea_v, fea_v))``
+        duplicated visual batch (cavp_model.py:181)."""
         B, N, C = x_q.shape
-        Nk = x_k.shape[1]
+        Bk, Nk = x_k.shape[:2]
+        assert Bk == B * dup, (x_q.shape, x_k.shape, dup)
         h = self.num_heads
         hd = C // h
         scale = hd ** -0.5
@@ -64,6 +70,9 @@ class Attention(nn.Module):
         v = Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x_v)
 
         q = q.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+        if dup > 1:
+            q = jnp.tile(q, (dup, 1, 1, 1))
+            B = Bk
         k = k.reshape(B, Nk, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, Nk, h, hd).transpose(0, 2, 1, 3)
 
@@ -98,10 +107,19 @@ class Block(nn.Module):
         q = q + self.mlp(self.norm2(q))
         return q, attn
 
-    def __call__(self, f_v, f_a):
+    def __call__(self, f_v, f_a, dup: int = 1):
         f_v = self.norm1(f_v)
         f_a = self.norm1(f_a)
-        f_v, attn_v = self.sdp(f_v, f_a, f_a)   # visual attends audio
+        if dup > 1:
+            # dedup of the duplicated visual half: norm1/Q ran on the
+            # true batch; tile the normed residual base to dup*B. The
+            # attended output (audio-dependent) differs per half from
+            # here on.
+            out, attn_v = self.attn(f_v, f_a, f_a, dup)
+            f_v = jnp.tile(f_v, (dup, 1, 1)) + out
+            f_v = f_v + self.mlp(self.norm2(f_v))
+        else:
+            f_v, attn_v = self.sdp(f_v, f_a, f_a)  # visual attends audio
         f_a, _ = self.sdp(f_a, f_v, f_v)        # audio attends updated visual
         return f_v, f_a, attn_v
 
@@ -168,16 +186,18 @@ class CrossAttention(nn.Module):
         ]
         self.norm = LayerNorm()
 
-    def __call__(self, f_v, f_a):
-        """f_v: [B, H, W, C] visual feature; f_a: [B, 1, 1, C] audio feature.
+    def __call__(self, f_v, f_a, dup: int = 1):
+        """f_v: [B, H, W, C] visual feature; f_a: [dup*B, 1, 1, C] audio
+        feature (dup=2 on the train path: matched ‖ shuffled audio over
+        one shared visual batch — the visual-side projections run once).
 
-        Returns (visual tokens [B, HW, C], audio tokens [B, 1, C],
-        attn_v [B, heads, HW, 1]).
+        Returns (visual tokens [dup*B, HW, C], audio tokens
+        [dup*B, 1, C], attn_v [dup*B, heads, HW, 1]).
         """
         f_v = self.patch_embed_v(f_v)
         f_a = self.patch_embed_a(f_a)
         attn_v = None
-        for block in self.blocks:
-            f_v, f_a, attn_v = block(f_v, f_a)
+        for i, block in enumerate(self.blocks):
+            f_v, f_a, attn_v = block(f_v, f_a, dup if i == 0 else 1)
         f_v = self.norm(f_v)
         return f_v, f_a, attn_v

@@ -153,15 +153,25 @@ class CAVP(nn.Module):
         feats = self.backbone(image, train)
         return self.segment.forward_feature(feats, train)
 
-    def forward_fusion(self, fea_v, fea_a):
-        """cavp_model.py:143-154. fea_v [B,h,w,C]; fea_a [B,C]."""
+    def forward_fusion(self, fea_v, fea_a, dup: int = 1):
+        """cavp_model.py:143-154. fea_v [B,h,w,C]; fea_a [dup*B,C].
+
+        ``dup=2`` is the train path: the reference duplicates the visual
+        feature (``cat((fea_v, fea_v))``, cavp_model.py:181) for the
+        matched ‖ shuffled audio batch. Both halves of the projector /
+        patch-embed / norm1 / Q-projection outputs are then identical
+        row-for-row, so they run once on B and the attended (audio-
+        dependent) tensors carry dup*B — exact, measured ~6% off the
+        train step."""
         B, h, w, C = fea_v.shape
         tokens = fea_v.reshape(B, h * w, C)
         tokens = self.visual_projector(tokens)
         fea_v_proj = tokens.reshape(B, h, w, C)
-        fused, f_a, attn_v = self.cross_att(fea_v_proj,
-                                            fea_a.reshape(B, 1, 1, C))
-        fused = fused.reshape(B, h, w, C)
+        fused, f_a, attn_v = self.cross_att(
+            fea_v_proj, fea_a.reshape(dup * B, 1, 1, C), dup=dup)
+        fused = fused.reshape(dup * B, h, w, C)
+        if dup > 1:  # pack shape parity with the reference's 2B visual
+            fea_v_proj = jnp.tile(fea_v_proj, (dup, 1, 1, 1))
         return fused, {"audio": fea_a, "visual": fea_v_proj, "attn_v": attn_v}
 
     def forward_cls(self, fused, out_hw: Tuple[int, int], train: bool):
@@ -183,14 +193,16 @@ class CAVP(nn.Module):
         return logits, fused, pack
 
     def forward_train(self, image, audio_2b):
-        """Train path (cavp_model.py:175-188): duplicate the visual
-        feature for the matched‖shuffled audio batch. ``audio_2b`` is the
-        concatenated [2B,...] spectrogram batch built by the trainer."""
+        """Train path (cavp_model.py:175-188): the visual feature pairs
+        with the matched ‖ shuffled audio batch (the reference
+        duplicates it; here the duplicate halves of the visual-side
+        projections are computed once — see forward_fusion dup).
+        ``audio_2b`` is the concatenated [2B,...] spectrogram batch
+        built by the trainer."""
         B = image.shape[0]
         fea_v = self.forward_visual_feature(image, train=True)
-        fea_v2 = jnp.concatenate([fea_v, fea_v], axis=0)
         fea_a = self.audio_net(audio_2b, train=True)
-        fused, pack = self.forward_fusion(fea_v2, fea_a)
+        fused, pack = self.forward_fusion(fea_v, fea_a, dup=2)
         head_in = fused[:B] if self.cls_matched_only else fused
         logits = self.forward_cls(head_in, image.shape[1:3], train=True)
         return logits, fused, pack

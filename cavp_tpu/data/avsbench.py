@@ -93,9 +93,13 @@ class S4Dataset:
         else:
             images, labels = [], []
             for p in img_paths:
-                images.append(Image.open(p).convert("RGB"))
+                im = self.transform.native_open_rgb(p)
+                images.append(im if im is not None
+                              else Image.open(p).convert("RGB"))
             for p in mask_paths:
-                labels.append(Image.open(p).convert("1"))
+                lb = self.transform.native_open_binary_mask(p)
+                labels.append(lb if lb is not None
+                              else Image.open(p).convert("1"))
             while len(labels) < 5:
                 labels.append(Image.fromarray(
                     np.zeros_like(np.asarray(labels[-1]))))
@@ -178,8 +182,12 @@ class MS3Dataset:
                                  f"{video}.mp4_{img_id}.png")
             mask_p = os.path.join(self.paths["dir_mask"], self.split, video,
                                   f"{video}_{img_id}.png")
-            image = Image.open(img_p).convert("RGB")
-            label = Image.open(mask_p).convert("1")
+            image = self.transform.native_open_rgb(img_p)
+            if image is None:
+                image = Image.open(img_p).convert("RGB")
+            label = self.transform.native_open_binary_mask(mask_p)
+            if label is None:
+                label = Image.open(mask_p).convert("1")
             x, y = self.transform(image, label)
             y = np.clip(y.astype(np.int32), 0, 1)
             waveform = load_audio(self._wav(video), self.AUDIO_SECONDS)

@@ -116,16 +116,23 @@ class AVSSDataset:
         avail = np.nonzero((frame_avail > 0) & (mask_avail > 0))[0]
         sel = int(_random.choice(list(avail)))
 
-        if sel < len(img_paths):
-            img = Image.open(img_paths[sel]).convert("RGB")
-        else:  # flagged-available but missing on disk: zero pad frame
-            ref = Image.open(img_paths[-1]).convert("RGB")
-            img = Image.fromarray(np.zeros_like(np.asarray(ref)))
-        if sel < len(mask_paths):
-            lab = Image.open(mask_paths[sel])
-        else:
-            ref = Image.open(mask_paths[-1])
-            lab = Image.fromarray(np.zeros_like(np.asarray(ref)))
+        img = lab = None
+        if sel < len(img_paths) and sel < len(mask_paths):
+            pair = self.transform.native_open_pair(img_paths[sel],
+                                                   mask_paths[sel])
+            if pair is not None:
+                img, lab = pair
+        if img is None:
+            if sel < len(img_paths):
+                img = Image.open(img_paths[sel]).convert("RGB")
+            else:  # flagged-available but missing on disk: zero pad frame
+                ref = Image.open(img_paths[-1]).convert("RGB")
+                img = Image.fromarray(np.zeros_like(np.asarray(ref)))
+            if sel < len(mask_paths):
+                lab = Image.open(mask_paths[sel])
+            else:
+                ref = Image.open(mask_paths[-1])
+                lab = Image.fromarray(np.zeros_like(np.asarray(ref)))
         image, label = self.transform(img, lab)
         image = image[None].astype(np.float32)       # [1, H, W, 3]
         label = label[None].astype(np.int32)          # [1, H, W]

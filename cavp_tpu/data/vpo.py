@@ -129,8 +129,12 @@ class VPODataset:
         rows = self.groups[idx] if self.multi_source else self.df.iloc[[idx]]
         first = rows.iloc[0]
 
-        image = Image.open(first["image_fp"]).convert("RGB")
-        label = Image.open(first["mask_fp"])
+        image = self.transform.native_open_rgb(first["image_fp"])
+        if image is None:
+            image = Image.open(first["image_fp"]).convert("RGB")
+        label = self.transform.native_open_index_mask(first["mask_fp"])
+        if label is None:
+            label = Image.open(first["mask_fp"])
         x, y, flip = self.transform(image, label)
         y = self._remap_mask(y.astype(np.int32))
 

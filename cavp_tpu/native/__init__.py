@@ -54,6 +54,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.decode_mask_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    if hasattr(lib, "decode_raw"):  # older cached .so builds lack it
+        lib.decode_raw.restype = ctypes.c_int
+        lib.decode_raw.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     _lib = lib
     return _lib
 
@@ -91,6 +97,38 @@ def decode_mask(path: str, height: int, width: int) -> np.ndarray:
     if rc != 0:
         raise IOError(f"native decode failed for {path}")
     return out
+
+
+def has_decode_raw() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "decode_raw")
+
+
+def decode_raw(path: str, as_gray: bool = False,
+               initial_cap: int = 2048 * 2048 * 3) -> np.ndarray:
+    """Raw decode -> uint8 [H, W, C] at source dims (C=3 RGB, or C=1
+    gray/palette-index for ``as_gray``). The train-path entry: decode in
+    C++ (GIL-free), augment in Python."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "decode_raw")
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    buf = np.empty((initial_cap,), np.uint8)
+    p8 = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rc = lib.decode_raw(path.encode(), int(as_gray), p8, initial_cap,
+                        ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+    if rc == 2:  # oversized source: exact-size retry
+        need = h.value * w.value * c.value
+        buf = np.empty((need,), np.uint8)
+        p8 = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        rc = lib.decode_raw(path.encode(), int(as_gray), p8, need,
+                            ctypes.byref(h), ctypes.byref(w),
+                            ctypes.byref(c))
+    if rc != 0:
+        raise IOError(f"native raw decode failed for {path}")
+    n = h.value * w.value * c.value
+    return buf[:n].reshape(h.value, w.value, c.value).copy()
 
 
 def decode_image_batch(paths: Sequence[str], height: int, width: int,

@@ -283,6 +283,24 @@ int decode_mask_impl(const char* path, int H, int W, int32_t* out) {
 
 extern "C" {
 
+// Raw decode for the TRAIN path: random augmentation stays in Python
+// (PIL-wrapped), the JPEG/PNG decode runs here with the GIL released.
+// Writes source dims to *h/*w/*c always; returns 0 on success, 1 on
+// decode failure, 2 when `cap` is too small for h*w*c bytes (caller
+// reallocates and retries).
+int decode_raw(const char* path, int as_gray, uint8_t* out, long cap,
+               int* h, int* w, int* c) {
+  ImageU8 img;
+  if (!decode_file(path, &img, as_gray != 0)) return 1;
+  *h = img.h;
+  *w = img.w;
+  *c = img.c;
+  long need = long(img.h) * img.w * img.c;
+  if (out == nullptr || cap < need) return 2;
+  std::memcpy(out, img.data.data(), size_t(need));
+  return 0;
+}
+
 int decode_image_file(const char* path, int H, int W, const float* mean,
                       const float* stdv, float* out) {
   return decode_image_impl(path, H, W, mean, stdv, out);

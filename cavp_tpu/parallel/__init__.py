@@ -18,6 +18,11 @@ from cavp_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from cavp_tpu.parallel.spatial import (
+    make_spatial_eval_step,
+    make_spatial_infer,
+    spatial_sharding,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -36,4 +41,7 @@ __all__ = [
     "localize_replicated",
     "process_index",
     "barrier",
+    "make_spatial_eval_step",
+    "make_spatial_infer",
+    "spatial_sharding",
 ]

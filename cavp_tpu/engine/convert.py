@@ -544,14 +544,21 @@ def enumerate_torch_keys(flat_p, flat_b,
                 return "audio_backbone.cls_head"
             assert rest.startswith("net.")
             rest = rest[4:]
-            m = re.match(r"conv(\d)$", rest)
-            if m:
-                inv_vgg = {v: k for k, v in _VGG_CONV_IDX.items()}
-                return (f"audio_backbone.backbone.features."
-                        f"{inv_vgg[int(m.group(1))]}")
-            m = re.match(r"fc(\d)$", rest)
-            if m:
-                return f"audio_backbone.backbone.embeddings.{int(m.group(1)) * 2}"
+            # "conv1" is ambiguous between the VGG tower's first conv
+            # and the resnet18 stem — disambiguate by the tower actually
+            # present in the param tree (resnet has layerN_M modules)
+            audio_is_resnet = any(k.startswith("audio_net.net.layer")
+                                  for k in flat_p)
+            if not audio_is_resnet:
+                m = re.match(r"conv(\d)$", rest)
+                if m:
+                    inv_vgg = {v: k for k, v in _VGG_CONV_IDX.items()}
+                    return (f"audio_backbone.backbone.features."
+                            f"{inv_vgg[int(m.group(1))]}")
+                m = re.match(r"fc(\d)$", rest)
+                if m:
+                    return (f"audio_backbone.backbone.embeddings."
+                            f"{int(m.group(1)) * 2}")
             m = re.match(r"layer(\d)_(\d+)\.(.*)", rest)
             if m:
                 tail = m.group(3).replace("downsample_conv", "downsample.0")

@@ -123,15 +123,29 @@ def make_train_step(
                 sound_bank, waveform.reshape(B, -1), img_label,
                 per_label=False)
 
+        # vpo_stereo uses the reference's audio_func=True convention
+        # (trainer_cavp_vpo_stereo.py:211 -> cavp_model.py:156-173): the
+        # audio tower runs on the B *unshuffled* clips and the shuffled
+        # half is a feature gather fea_a[shuffle_idx] — which also keeps
+        # the tower's train-mode BN batch at B. The other trainers
+        # concatenate waveforms (matched ‖ shuffled/bank-overwritten)
+        # and run the tower on 2B.
+        gather_audio = variant == "vpo_stereo"
+        audio_gather_idx = shuffle_idx if gather_audio else None
         if "mel" in batch:
-            # Parity-harness injection: a precomputed [2B,T,F,C] mel
-            # (matched ‖ shuffled). The mel frontend is f32 internally,
-            # and two separate compilations of it aren't bit-identical —
-            # the fp64 train-parity driver feeds both frameworks one
-            # tensor instead. Production never sets this key.
+            # Parity-harness injection: a precomputed mel ([2B,...] or
+            # [B,...] for the gather convention). The mel frontend is
+            # f32 internally, and two separate compilations of it
+            # aren't bit-identical — the fp64 train-parity driver feeds
+            # both frameworks one tensor instead. Production never sets
+            # this key.
             audio = batch["mel"]
         else:
-            input_wave = jnp.concatenate([waveform, shuffle_wave], axis=0)
+            if gather_audio:
+                input_wave = waveform
+            else:
+                input_wave = jnp.concatenate([waveform, shuffle_wave],
+                                             axis=0)
             audio = preprocess_audio(input_wave, n_frames=n_frames,
                                      spec_min=config.spec_min,
                                      spec_max=config.spec_max,
@@ -145,7 +159,9 @@ def make_train_step(
         def loss_fn(params):
             (logits2b, fused2b, pack), mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                image, audio, eval_mode=False, mutable=["batch_stats"],
+                image, audio, eval_mode=False,
+                audio_gather_idx=audio_gather_idx,
+                mutable=["batch_stats"],
                 rngs={"dropout": k_drop})  # HRNet/OCR head Dropout2d
             output = logits2b[:B]  # + 0*logits2b[B:] — identical gradient
             l_ce = cross_entropy(output, pix_label)

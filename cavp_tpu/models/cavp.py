@@ -192,25 +192,43 @@ class CAVP(nn.Module):
         logits = self.forward_cls(fused, image.shape[1:3], train=False)
         return logits, fused, pack
 
-    def forward_train(self, image, audio_2b):
+    def forward_train(self, image, audio, audio_gather_idx=None):
         """Train path (cavp_model.py:175-188): the visual feature pairs
         with the matched ‖ shuffled audio batch (the reference
         duplicates it; here the duplicate halves of the visual-side
         projections are computed once — see forward_fusion dup).
-        ``audio_2b`` is the concatenated [2B,...] spectrogram batch
-        built by the trainer."""
+
+        Two audio conventions, matching the reference's two trainer
+        modes:
+
+        - ``audio_gather_idx=None`` (avss/vpo_mono/avs_obj,
+          ``audio_func=False``): ``audio`` is the concatenated [2B,...]
+          spectrogram batch (matched ‖ shuffled-or-bank-overwritten
+          waveforms) and the tower runs on all 2B clips.
+        - ``audio_gather_idx=[B]`` (vpo_stereo, ``audio_func=True`` —
+          cavp_model.py:156-173): ``audio`` is the [B,...] *unshuffled*
+          batch; the tower runs once and the shuffled half is the
+          feature gather ``fea_a[idx]`` (the reference's model-level
+          bank overwrite is dead code: line 171 unconditionally
+          reassigns the plain gather). This also keeps the audio
+          tower's train-mode BN batch size at B, as the reference
+          computes it.
+        """
         B = image.shape[0]
         fea_v = self.forward_visual_feature(image, train=True)
-        fea_a = self.audio_net(audio_2b, train=True)
+        fea_a = self.audio_net(audio, train=True)
+        if audio_gather_idx is not None:
+            fea_a = jnp.concatenate([fea_a, fea_a[audio_gather_idx]], axis=0)
         fused, pack = self.forward_fusion(fea_v, fea_a, dup=2)
         head_in = fused[:B] if self.cls_matched_only else fused
         logits = self.forward_cls(head_in, image.shape[1:3], train=True)
         return logits, fused, pack
 
-    def __call__(self, image, audio, eval_mode: bool = True):
+    def __call__(self, image, audio, eval_mode: bool = True,
+                 audio_gather_idx=None):
         if eval_mode:
             return self.forward_inference(image, audio)
-        return self.forward_train(image, audio)
+        return self.forward_train(image, audio, audio_gather_idx)
 
 
 class VisualModel(nn.Module):

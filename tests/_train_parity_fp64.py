@@ -49,28 +49,34 @@ from cavp_tpu.models.soundbank import init_bank
 from torch_ref import TorchCAVP, randomize_bn_stats
 from torch_train_ref import (TorchCoroCL, WarmUpPolyLR,
                              build_reference_optimizers,
-                             reference_train_step)
+                             reference_train_step,
+                             reference_train_step_stereo)
 from train_parity_common import (B, MAX_VIEWS, NUM_CLASSES, SPE,
                                  build_batch, make_test_config, rel_err)
 
 STEPS = int(os.environ.get("PARITY_STEPS", "3"))
+VARIANT = os.environ.get("PARITY_VARIANT", "avss")
 
 
 def main():
+    stereo = VARIANT == "vpo_stereo"
+    cfg = make_test_config(get_config, variant=VARIANT)
     torch.manual_seed(0)
-    tmodel = TorchCAVP(num_classes=NUM_CLASSES)
+    tmodel = TorchCAVP(num_classes=NUM_CLASSES,
+                       audio_backbone=cfg.audio_backbone,
+                       in_plane=cfg.in_plane)
     randomize_bn_stats(tmodel, seed=1)
     sd0_f32 = {k: v.detach().clone().numpy() for k, v in
                tmodel.state_dict().items()}
 
-    cfg = make_test_config(get_config)
-
     # convert at f32 (exact copy), then upcast both sides to double
     fmodel = CAVP(num_classes=NUM_CLASSES, cls_matched_only=False,
+                  audio_backbone=cfg.audio_backbone, in_plane=cfg.in_plane,
                   dtype=jnp.float64)
     variables = fmodel.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 32, 32, 3), jnp.float32),
-                            jnp.zeros((1, 96, 64, 1), jnp.float32), True)
+                            jnp.zeros((1, cfg.mel_frames, 64, cfg.in_plane),
+                                      jnp.float32), True)
     params, batch_stats, report = import_torch_state_dict(
         sd0_f32, variables["params"], variables["batch_stats"])
     assert report["missing"] == [], report["missing"][:10]
@@ -83,7 +89,7 @@ def main():
                        batch_stats=batch_stats, opt_state=tx.init(params),
                        sound_bank=init_bank(NUM_CLASSES, B,
                                             cfg.audio_samples))
-    train_step = jax.jit(make_train_step(fmodel, tx, cfg, variant="avss"))
+    train_step = jax.jit(make_train_step(fmodel, tx, cfg, variant=VARIANT))
 
     corocl = TorchCoroCL(temperature=cfg.cl_temp, max_views=MAX_VIEWS)
     opt_v, opt_a = build_reference_optimizers(tmodel, cfg.lr, cfg.momentum,
@@ -119,18 +125,24 @@ def main():
     t_losses, f_losses = [], []
     step1_report = None
     for step in range(STEPS):
-        batch = build_batch(seed=step)
-        mel32 = flax_mel(jnp.asarray(np.concatenate(
-            [batch["waveform"], batch["waveform"][batch["shuffle_idx"]]], 0),
-            np.float32),
-            n_frames=cfg.mel_frames, spec_min=cfg.spec_min,
-            spec_max=cfg.spec_max)
-        mel64 = np.asarray(mel32, np.float64)            # [2B,96,64,1]
-        t_losses.append(reference_train_step(
+        batch = build_batch(seed=step, in_plane=cfg.in_plane,
+                            audio_samples=cfg.audio_samples)
+        # stereo (audio_func=True): mel of the B unshuffled clips only;
+        # otherwise the concatenated matched-then-shuffled 2B batch
+        wave_in = batch["waveform"] if stereo else np.concatenate(
+            [batch["waveform"], batch["waveform"][batch["shuffle_idx"]]], 0)
+        mel32 = flax_mel(jnp.asarray(wave_in, np.float32),
+                         n_frames=cfg.mel_frames, spec_min=cfg.spec_min,
+                         spec_max=cfg.spec_max)
+        mel64 = np.asarray(mel32, np.float64)
+        tdrive = reference_train_step_stereo if stereo \
+            else reference_train_step
+        t_losses.append(tdrive(
             tmodel, corocl, opt_v, opt_a, sched, cur_iter=step,
             image=torch.from_numpy(batch["image"].astype(np.float64)
                                    ).permute(0, 3, 1, 2),
-            mel_2b=torch.from_numpy(mel64).permute(0, 3, 1, 2).contiguous(),
+            **{"mel_b" if stereo else "mel_2b":
+               torch.from_numpy(mel64).permute(0, 3, 1, 2).contiguous()},
             pix_label=torch.from_numpy(batch["pix_label"]).long(),
             img_label=torch.from_numpy(batch["img_label"]).long(),
             shuffle_idx=torch.from_numpy(batch["shuffle_idx"]).long()))
@@ -153,7 +165,8 @@ def main():
         "seg": "segment.aspp.red_conv.weight",
         "bkb": "backbone.backbone.layer1.0.conv1.weight",
         "fusion": "cross_att.blocks.0.attn.q.weight",
-        "audio": "audio_backbone.backbone.features.0.weight",
+        "audio": ("audio_backbone.backbone.conv1.weight" if stereo else
+                  "audio_backbone.backbone.features.0.weight"),
     }
     for g, k in probes.items():
         moved_probes[g] = float(np.abs(sdT[k]

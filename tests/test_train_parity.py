@@ -122,17 +122,22 @@ class TestTrainStepParityFp32:
         np.testing.assert_allclose(f_loss, t_loss, rtol=1e-3, atol=1e-3)
 
 
+def _run_fp64_driver(variant: str, steps: int):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PARITY_STEPS"] = str(steps)
+    env["PARITY_VARIANT"] = variant
+    r = subprocess.run(
+        [sys.executable, os.path.join("tests", "_train_parity_fp64.py")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stderr[-4000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 class TestTrainStepParityFp64:
     @pytest.fixture(scope="class")
     def report(self):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["PARITY_STEPS"] = "3"
-        r = subprocess.run(
-            [sys.executable, os.path.join("tests", "_train_parity_fp64.py")],
-            cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
-        assert r.returncode == 0, r.stderr[-4000:]
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        return _run_fp64_driver("avss", 3)
 
     def test_loss_trajectory(self, report):
         for s, (t, f) in enumerate(zip(report["t_losses"],
@@ -156,6 +161,37 @@ class TestTrainStepParityFp64:
         worst_bn = report["final"]["worst_bn"]
         assert worst_bn and worst_bn[0][0] < 1e-4, worst_bn
         assert report["final"]["frozen_moved"] == []
+
+    def test_every_group_moved(self, report):
+        for group, delta in report["moved_probes"].items():
+            assert delta > 1e-7, f"{group} group did not move"
+
+
+class TestTrainStepParityFp64Stereo:
+    """The vpo_stereo trainer variant (trainer_cavp_vpo_stereo.py):
+    stereo 2-channel 3-s mel, ResNet-18 audio tower, and the
+    ``audio_func=True`` convention — the tower runs on the B unshuffled
+    clips and the shuffled half is the feature gather fea_a[idx]
+    (cavp_model.py:156-173 with the dead bank overwrite). Also pins the
+    flax AudioResNet18 numerics against the inline torchvision replica
+    through real gradients."""
+
+    @pytest.fixture(scope="class")
+    def report(self):
+        return _run_fp64_driver("vpo_stereo", 2)
+
+    def test_loss_trajectory(self, report):
+        for s, (t, f) in enumerate(zip(report["t_losses"],
+                                       report["f_losses"])):
+            np.testing.assert_allclose(f, t, rtol=1e-6, atol=1e-6,
+                                       err_msg=f"step {s}")
+
+    def test_step1_deltas_tight(self, report):
+        worst = report["step1"]["worst_params"]
+        assert worst and worst[0][0] < 1e-4, worst[:5]
+        worst_bn = report["step1"]["worst_bn"]
+        assert worst_bn and worst_bn[0][0] < 1e-6, worst_bn
+        assert report["step1"]["frozen_moved"] == []
 
     def test_every_group_moved(self, report):
         for group, delta in report["moved_probes"].items():

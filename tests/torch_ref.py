@@ -318,6 +318,68 @@ class VGGAudio(nn.Module):
         return self.embeddings(x.view(x.size(0), -1))
 
 
+class TVBasicBlock(nn.Module):
+    """torchvision.models.resnet.BasicBlock (state_dict-name-identical)."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride,
+                               padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return self.relu(out + r)
+
+
+class TVResNet18(nn.Module):
+    """torchvision resnet18 skeleton (weights=None), inlined because
+    torchvision isn't available in this image — module names match the
+    torchvision state_dict exactly, with the reference's surgeries
+    applied (audio_network.py:19-25): in_plane-channel conv1,
+    AdaptiveMaxPool2d head, fc -> out_plane."""
+
+    def __init__(self, in_plane, out_plane):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_plane, 64, 7, stride=2, padding=3,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        self.inplanes = 64
+        self.layer1 = self._make_layer(64, 1)
+        self.layer2 = self._make_layer(128, 2)
+        self.layer3 = self._make_layer(256, 2)
+        self.layer4 = self._make_layer(512, 2)
+        self.avgpool = nn.AdaptiveMaxPool2d((1, 1))
+        self.fc = nn.Linear(512, out_plane)
+
+    def _make_layer(self, planes, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes, 1, stride=stride,
+                          bias=False),
+                nn.BatchNorm2d(planes))
+        layers = [TVBasicBlock(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes
+        layers.append(TVBasicBlock(planes, planes))
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+            x = layer(x)
+        x = self.avgpool(x)
+        return self.fc(torch.flatten(x, 1))
+
+
 class AudioModel(nn.Module):
     """audio_network.py:9-34; 'vgg' or torchvision-style resnet18."""
 
@@ -326,12 +388,7 @@ class AudioModel(nn.Module):
         if backbone == "vgg":
             self.backbone = VGGAudio(out_plane)
         else:
-            from torchvision.models import resnet18
-            self.backbone = resnet18(weights=None)
-            self.backbone.conv1 = nn.Conv2d(in_plane, 64, 7, stride=2,
-                                            padding=3, bias=False)
-            self.backbone.avgpool = nn.AdaptiveMaxPool2d((1, 1))
-            self.backbone.fc = nn.Linear(512, out_plane)
+            self.backbone = TVResNet18(in_plane, out_plane)
         self.cls_head = nn.Linear(out_plane, num_classes)
 
     def forward(self, x):
@@ -385,6 +442,23 @@ class TorchCAVP(nn.Module):
         fea_v = self.segment.forward_feature(feats)
         fea_v = torch.cat((fea_v, fea_v.clone()), dim=0)
         fea_a = self.audio_backbone(audio_2b)
+        fused, attn_v = self.forward_fusion(fea_v, fea_a)
+        logits = self.segment.upsample(fused)
+        logits = F.interpolate(logits, size=image.shape[-2:], mode="bilinear",
+                               align_corners=False)
+        return logits, fused, attn_v
+
+    def forward_train_gather(self, image, audio_b, shuffle_idx):
+        """cavp_model.py forward_audio path (audio_func=True — the
+        vpo_stereo trainer): the tower runs on the B unshuffled clips;
+        the shuffled half is the feature gather fea_a[shuffle_idx] (the
+        model-level bank overwrite is dead: line 171 reassigns the
+        plain gather)."""
+        feats = self.backbone(image)
+        fea_v = self.segment.forward_feature(feats)
+        fea_v = torch.cat((fea_v, fea_v.clone()), dim=0)
+        fea_a = self.audio_backbone(audio_b)
+        fea_a = torch.cat((fea_a, fea_a[shuffle_idx]), dim=0)
         fused, attn_v = self.forward_fusion(fea_v, fea_a)
         logits = self.segment.upsample(fused)
         logits = F.interpolate(logits, size=image.shape[-2:], mode="bilinear",

@@ -198,3 +198,39 @@ def reference_train_step(model, corocl, opt_v, opt_a, scheduler, cur_iter,
     current_lr = scheduler.get_lr(cur_iter)
     lr_step(opt_v, current_lr)
     return float(loss.detach()), float(l_ce.detach()), float(l_ctr.detach())
+
+
+def reference_train_step_stereo(model, corocl, opt_v, opt_a, scheduler,
+                                cur_iter, image, mel_b, pix_label,
+                                img_label, shuffle_idx):
+    """The vpo_stereo trainer hot-loop body
+    (trainer_cavp_vpo_stereo.py:183-236) at epoch 0: single-frame
+    batches, stereo mel of the B *unshuffled* clips, audio_func=True
+    forward (feature-gather shuffle half). ``mel_b`` is [B,2,96,64]."""
+    model.train()
+    B = image.shape[0]
+    opt_v.zero_grad()
+    opt_a.zero_grad()
+
+    shuffle_img_label = img_label.clone()[shuffle_idx]
+    shuffle_pix_label = pix_label.clone()[shuffle_idx]
+    if_match = torch.all(torch.eq(img_label, shuffle_img_label), dim=1)
+
+    output_cat, ctr_feature_cat, _ = model.forward_train_gather(
+        image, mel_b, shuffle_idx)
+    output = output_cat[:B] + output_cat[B:] * 0.0
+
+    shuffle_pix_label[~if_match] = 0
+    shuffle_pix_label[if_match] = pix_label[if_match]
+
+    l_ctr = corocl(ctr_feature_cat[:B], pix_label,
+                   ctr_feature_cat[B:], shuffle_pix_label)
+    l_ce = F.cross_entropy(output, pix_label, ignore_index=255)
+    loss = l_ce + l_ctr
+    loss.backward()
+    opt_v.step()
+    opt_a.step()
+
+    current_lr = scheduler.get_lr(cur_iter)
+    lr_step(opt_v, current_lr)
+    return float(loss.detach()), float(l_ce.detach()), float(l_ctr.detach())

@@ -54,10 +54,10 @@ def build_labels():
     return label64.astype(np.int32)                # [B,64,64]
 
 
-def build_batch(seed=0):
+def build_batch(seed=0, in_plane=1, audio_samples=16000):
     rng = np.random.RandomState(seed)
     image = rng.randn(B, IMG, IMG, 3).astype(np.float32)
-    wave = (rng.randn(B, 1, 16000) * 0.1).astype(np.float32)
+    wave = (rng.randn(B, in_plane, audio_samples) * 0.1).astype(np.float32)
     pix = build_labels()
     # multi-hot img labels: samples 0/1 match ({bg, 1}); 2/3 differ by a
     # phantom extra class (no pixels — keeps sampling exhaustive) so the
@@ -78,7 +78,12 @@ def rel_err(a, b):
                            - np.asarray(b, np.float64)).ravel()) / (denom + 1e-12)
 
 
-def make_test_config(get_config):
-    return get_config("avss").replace(
+def make_test_config(get_config, variant="avss"):
+    cfg = get_config("avss").replace(
         num_classes=NUM_CLASSES, batch_size=B, max_view=MAX_VIEWS,
         image_width=IMG, image_height=IMG, **HYPERS)
+    if variant == "vpo_stereo":
+        # the stereo configuration: 3 s audio -> ResNet-18 audio tower,
+        # 2-channel waveforms (config_vpo_ss.py:51, in_plane=2)
+        cfg = cfg.replace(audio_len=3.0, audio_backbone="18", in_plane=2)
+    return cfg

@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="use the fused Pallas log-mel kernel")
     parser.add_argument("--ckpt_path", default="", type=str,
                         help="checkpoint to load (orbax dir or torch .pth)")
+    parser.add_argument("--compiler_options", default="", type=str,
+                        help="k=v,k=v XLA options forwarded per-compile "
+                             "(TPU flags must use this, not XLA_FLAGS)")
     return parser
 
 

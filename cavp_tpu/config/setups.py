@@ -102,6 +102,11 @@ class Config:
     compute_dtype: str = "bfloat16"  # dtype for conv/matmul activations
     param_dtype: str = "float32"
     use_pallas_mel: bool = False  # fused Pallas log-mel frontend
+    # "key=val,key=val" forwarded to XLA per-compile (TPU flags must NOT
+    # go in XLA_FLAGS — the client parser aborts on them; see
+    # docs/performance.md "Recorded ablations"). Example:
+    # --compiler_options xla_tpu_enable_aggressive_loop_fusion_layout_opt=true
+    compiler_options: str = ""
     use_tfdata: bool = False  # tf.data eval input pipeline (else thread pool)
     # video-uid whitelist for eval image uploads (utils/eval_list.txt,
     # trainer_cavp_avss_image.py:59-60,449-463)

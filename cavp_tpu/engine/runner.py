@@ -56,6 +56,21 @@ except Exception:
     pass
 
 
+def parse_compiler_options(config: Config) -> Optional[Dict[str, str]]:
+    """--compiler_options "k=v,k=v" -> per-compile XLA options dict.
+    TPU flags must ride this channel, not XLA_FLAGS (the client env
+    parser aborts on TPU-only flags — docs/performance.md)."""
+    raw = getattr(config, "compiler_options", "") or ""
+    opts = {}
+    for pair in raw.split(","):
+        pair = pair.strip()
+        if not pair:
+            continue
+        k, _, v = pair.partition("=")
+        opts[k.strip()] = v.strip()
+    return opts or None
+
+
 def build_model(config: Config, baseline: bool = False):
     """main_avss_resize.py:92-116 model construction."""
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
@@ -210,7 +225,8 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     if config.use_baseline:
         variant = "baseline"  # visual-only CE (main_avss_resize.py:92-104)
     train_step = jax.jit(make_train_step(model, tx, config, variant=variant),
-                         donate_argnums=(0,))
+                         donate_argnums=(0,),
+                         compiler_options=parse_compiler_options(config))
     rng = jax.random.PRNGKey(config.seed + 1)
 
     best_iou = 0.0
@@ -417,7 +433,8 @@ def run_validation(config: Config, model, state, test_loader, mesh=None,
         variables = localize_replicated(variables)
     else:
         mesh = mesh or _make_mesh(config)
-    eval_step = jax.jit(make_eval_step(model, config))
+    eval_step = jax.jit(make_eval_step(model, config),
+                        compiler_options=parse_compiler_options(config))
     metrics = eval_metrics_init(config.num_classes)
     n_dev = mesh.devices.size
     upload_names = set(wandb_.eval_list) if (
@@ -496,7 +513,8 @@ def _pad_to_devices(batch: Dict, n_dev: int) -> Dict:
 def run_jf_test(config: Config, model, state, test_loader) -> Dict[str, float]:
     """test_avss_resize.py J&F eval: per-video mask_iou + F-measure
     averaged with AverageMeter semantics (trainer_cavp_avs_obj.py:346-353)."""
-    jf_step = jax.jit(make_jf_test_step(model, config))
+    jf_step = jax.jit(make_jf_test_step(model, config),
+                      compiler_options=parse_compiler_options(config))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     mious, fscores = [], []
     for batch in test_loader:

@@ -150,3 +150,29 @@ class TestLrStepIndexing:
         # step 1: schedule(0) = 0 -> no movement
         np.testing.assert_allclose(np.asarray(up1["backbone"]["kernel"]),
                                    0.0, atol=1e-9)
+
+
+class TestCompilerOptions:
+    def test_parse_compiler_options(self):
+        from cavp_tpu.config import get_config
+        from cavp_tpu.engine.runner import parse_compiler_options
+
+        cfg = get_config("avss")
+        assert parse_compiler_options(cfg) is None
+        cfg = cfg.replace(compiler_options=
+                          "xla_tpu_x=true, xla_tpu_y=128")
+        assert parse_compiler_options(cfg) == {
+            "xla_tpu_x": "true", "xla_tpu_y": "128"}
+
+    def test_jit_accepts_parsed_options(self):
+        """A benign option must flow through jax.jit(compiler_options=)."""
+        import jax
+        import jax.numpy as jnp
+        from cavp_tpu.config import get_config
+        from cavp_tpu.engine.runner import parse_compiler_options
+
+        cfg = get_config("avss").replace(
+            compiler_options="xla_cpu_enable_fast_math=False")
+        f = jax.jit(lambda x: x * 2,
+                    compiler_options=parse_compiler_options(cfg))
+        assert float(f(jnp.float32(3.0))) == 6.0

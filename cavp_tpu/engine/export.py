@@ -87,7 +87,12 @@ def export_predict(model, variables, config, out_dir: str,
 
 class ExportedPredictor:
     """Loads an exported artifact and serves predictions — no model
-    code, flax modules, or checkpoints required at load time."""
+    code, flax modules, or checkpoints required at load time.
+
+    Exposes the :class:`cavp_tpu.engine.predictor.Predictor` serving
+    surface (``predict`` / ``expected_shapes`` / ``warmup`` /
+    ``batch_sizes``) so the HTTP daemon can serve straight from an
+    artifact: ``scripts/serve.py --artifact <dir>``."""
 
     def __init__(self, artifact_dir: str):
         with open(os.path.join(artifact_dir, "meta.json")) as f:
@@ -95,8 +100,50 @@ class ExportedPredictor:
         with open(os.path.join(artifact_dir, "predict.stablehlo"), "rb") as f:
             self._exported = jax_export.deserialize(f.read())
         self._call = jax.jit(self._exported.call)
+        self.batch_sizes = [int(self.meta["batch_size"])]
 
     def __call__(self, image_u8: np.ndarray, waveform: np.ndarray):
         mask, conf = self._call(jnp.asarray(image_u8, jnp.uint8),
                                 jnp.asarray(waveform, jnp.float32))
         return np.asarray(mask), np.asarray(conf)
+
+    # --- Predictor-compatible serving surface -------------------------
+    def expected_shapes(self):
+        h, w = self.meta["image_hw"]
+        wav = self.meta["waveform_shape"]
+        return ((h, w, 3), (wav[1], wav[2]))
+
+    def warmup(self):
+        img_s, wav_s = self.expected_shapes()
+        b = self.batch_sizes[0]
+        self.predict(np.zeros((b,) + img_s, np.uint8),
+                     np.zeros((b,) + wav_s, np.float32))
+        return self
+
+    def predict(self, images: np.ndarray, waveforms: np.ndarray
+                ) -> Dict[str, np.ndarray]:
+        """Chunk/pad to the artifact's fixed batch (its shapes are baked
+        into the program)."""
+        if images.shape[0] == 0:
+            raise ValueError("empty batch")
+        img_s, wav_s = self.expected_shapes()
+        if tuple(images.shape[1:]) != img_s:
+            raise ValueError(f"image shape {tuple(images.shape[1:])} != "
+                             f"artifact {img_s}")
+        if tuple(waveforms.shape[1:]) != wav_s:
+            raise ValueError(f"waveform shape {tuple(waveforms.shape[1:])} "
+                             f"!= artifact {wav_s}")
+        b = self.batch_sizes[0]
+        n = images.shape[0]
+        masks, confs = [], []
+        for start in range(0, n, b):
+            chunk = min(n - start, b)
+            img = np.zeros((b,) + images.shape[1:], np.uint8)
+            wav = np.zeros((b,) + waveforms.shape[1:], np.float32)
+            img[:chunk] = images[start:start + chunk]
+            wav[:chunk] = waveforms[start:start + chunk]
+            mask, conf = self(img, wav)
+            masks.append(mask[:chunk])
+            confs.append(conf[:chunk])
+        return {"mask": np.concatenate(masks),
+                "conf": np.concatenate(confs)}

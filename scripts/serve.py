@@ -41,7 +41,19 @@ def main():
     extra.add_argument("--return_probs", action="store_true")
     extra.add_argument("--allow_random_weights", action="store_true",
                        help="serve without a checkpoint (bench/debug only)")
+    extra.add_argument("--artifact", default="", type=str,
+                       help="serve a jax.export StableHLO artifact dir "
+                            "(scripts/export_model.py) — no checkpoint "
+                            "or model config needed")
     extra_args, rest = extra.parse_known_args()
+
+    if extra_args.artifact:
+        from cavp_tpu.engine.export import ExportedPredictor
+
+        predictor = ExportedPredictor(extra_args.artifact)
+        serve(predictor, host=extra_args.host, port=extra_args.port,
+              max_wait_ms=extra_args.max_wait_ms)
+        return
 
     config = load_args_and_config(rest)
     if not config.ckpt_path and not extra_args.allow_random_weights:

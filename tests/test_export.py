@@ -60,3 +60,51 @@ class TestExport:
         mask, conf = p(np.zeros((2, 32, 32, 3), np.uint8),
                        np.zeros((2, 1, 16000), np.float32))
         assert mask.shape == (2, 32, 32) and conf.shape == (2, 32, 32)
+
+
+class TestExportedServing:
+    """The artifact is directly servable: Predictor-compatible surface
+    (predict/expected_shapes/warmup/batch_sizes) drives the dynamic
+    batcher exactly like the live Predictor (serve.py --artifact)."""
+
+    @pytest.fixture(scope="class")
+    def artifact(self, tmp_path_factory):
+        cfg = get_config("avss").replace(
+            image_width=32, image_height=32, num_classes=3,
+            visual_backbone=18, compute_dtype="float32")
+        model = CAVP(num_classes=3, visual_backbone=18)
+        variables = model.init(
+            jax.random.PRNGKey(2),
+            jnp.zeros((1, 32, 32, 3), jnp.float32),
+            jnp.zeros((1, 96, 64, 1), jnp.float32), True)
+        out = tmp_path_factory.mktemp("srv") / "art"
+        export_predict(model, variables, cfg, str(out), batch_size=2,
+                       image_hw=(32, 32))
+        return str(out)
+
+    def test_predict_surface_chunks_and_validates(self, artifact):
+        p = ExportedPredictor(artifact).warmup()
+        assert p.batch_sizes == [2]
+        img_s, wav_s = p.expected_shapes()
+        assert img_s == (32, 32, 3) and wav_s == (1, 16000)
+        out = p.predict(np.zeros((5,) + img_s, np.uint8),
+                        np.zeros((5,) + wav_s, np.float32))
+        assert out["mask"].shape == (5, 32, 32)
+        assert out["conf"].shape == (5, 32, 32)
+        with pytest.raises(ValueError):
+            p.predict(np.zeros((1, 16, 16, 3), np.uint8),
+                      np.zeros((1,) + wav_s, np.float32))
+
+    def test_dynamic_batcher_over_artifact(self, artifact):
+        from cavp_tpu.engine.server import DynamicBatcher
+
+        p = ExportedPredictor(artifact).warmup()
+        b = DynamicBatcher(p.predict, max_batch=p.batch_sizes[0],
+                           max_wait_ms=20.0,
+                           expected_shapes=p.expected_shapes())
+        futs = [b.submit(np.zeros((1, 32, 32, 3), np.uint8),
+                         np.zeros((1, 1, 16000), np.float32))
+                for _ in range(3)]
+        outs = [f.result(timeout=30) for f in futs]
+        b.close()
+        assert all(o["mask"].shape == (1, 32, 32) for o in outs)

@@ -116,7 +116,8 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
                  max_steps_per_epoch: Optional[int] = None,
                  eval_collate: Callable = collate_eval_videos,
                  eval_batch_size: int = 1,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 preempt: Optional["PreemptionSignal"] = None):
     """The epoch loop. ``make_datasets(config) -> (train_ds, test_ds,
     train_collate)``. Returns (state, best_miou).
 
@@ -126,6 +127,10 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     turns on jax_debug_nans as the nan-guard equivalent of the
     reference's CoroCL asserts.
     """
+    # graceful preemption: install FIRST — Cloud TPU SIGTERMs can land
+    # during the (minutes-long) setup compiles; the flag is checked in
+    # the step loop, which then writes the resumable checkpoint
+    preempt = (preempt or PreemptionSignal()).install()
     initialize_distributed()
     suppress_non_primary(is_primary())
     seed_everything(config.seed)
@@ -235,8 +240,9 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
             config, model, state, mesh, engine, wandb_, train_loader,
             test_loader, train_step, schedule, rng, start_epoch,
             steps_per_epoch, max_steps_per_epoch, profile_dir,
-            best_iou0=resume_best_iou)
+            best_iou0=resume_best_iou, preempt=preempt)
     finally:
+        preempt.uninstall()
         # join any in-flight async checkpoint write even when the loop
         # raised (NaN guard, preemption): the atomic swap means the last
         # good best_model is never lost, but the write must complete. If
@@ -251,10 +257,51 @@ def run_training(config: Config, variant: str, make_datasets: Callable,
     return state, best_iou
 
 
+class PreemptionSignal:
+    """SIGTERM/SIGINT-driven graceful preemption (SURVEY.md §5.3 — the
+    reference has no failure handling at all). Cloud TPU preemptions and
+    maintenance events deliver SIGTERM; the epoch loop checks the flag
+    between steps and writes a resumable full-state checkpoint
+    (``preempt``) before exiting, so ``--ckpt_path`` restart loses at
+    most one step. Install only in the main thread; restores previous
+    handlers on ``uninstall``."""
+
+    def __init__(self):
+        self.triggered = False
+        self._prev = {}
+
+    def install(self):
+        import signal
+
+        def _handler(signum, frame):
+            self.triggered = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, _handler)
+            except ValueError:  # not the main thread (tests, servers)
+                pass
+        return self
+
+    def uninstall(self):
+        import signal
+
+        for sig, prev in self._prev.items():
+            try:
+                signal.signal(sig, prev)
+            except ValueError:
+                pass
+        self._prev = {}
+
+
+class PreemptedError(RuntimeError):
+    """Raised after the preemption checkpoint is safely written."""
+
+
 def _epoch_loop(config, model, state, mesh, engine, wandb_, train_loader,
                 test_loader, train_step, schedule, rng, start_epoch,
                 steps_per_epoch, max_steps_per_epoch, profile_dir,
-                best_iou0: float = 0.0):
+                best_iou0: float = 0.0, preempt: "PreemptionSignal" = None):
     best_iou = best_iou0
     step_no = int(state.step)
 
@@ -281,6 +328,14 @@ def _epoch_loop(config, model, state, mesh, engine, wandb_, train_loader,
                 break
             if profile_dir and epoch == 0 and batch_idx == 10:
                 jax.profiler.start_trace(profile_dir)
+            if preempt is not None and preempt.triggered:
+                logger.warning("preemption signal: writing resumable "
+                               "checkpoint before exit")
+                engine.save(state, "preempt", blocking=True,
+                            extra_metrics={"best_iou": best_iou})
+                raise PreemptedError(
+                    f"preempted at epoch {epoch} step {step_no}; resume "
+                    f"with --ckpt_path {engine.ckpt_dir}/preempt")
             batch.pop("name", None)
             batch = shard_batch(batch, mesh)
             state, metrics = train_step(state, batch, rng,

@@ -186,8 +186,19 @@ class VisualAugmentation:
     @staticmethod
     def native_open_binary_mask(path: str):
         """1-bit mask as {0,1} 'L' image — matches np.asarray of PIL
-        ``convert("1")`` for true 1-bit sources. Non-binary sources fall
-        back to PIL (convert("1") dithers; not emulated)."""
+        ``convert("1")`` for true 1-bit sources. Any OTHER source mode
+        falls back to PIL *before* decoding natively: PIL's
+        ``convert("1")`` thresholds at 128 with Floyd-Steinberg dither,
+        which is not emulated (an 8-bit {0,1}-valued mask would dither
+        to ~zeros under PIL — the reference's behavior — while a naive
+        value-based guard would keep it binary), and probing the header
+        first avoids decoding the common 0/255 case twice."""
+        try:
+            with Image.open(path) as im:  # header-only probe (lazy)
+                if im.mode != "1":
+                    return None
+        except Exception:
+            return None
         lab = VisualAugmentation.native_open_index_mask(path)
         if lab is None:
             return None

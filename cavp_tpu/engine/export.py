@@ -65,7 +65,11 @@ def export_predict(model, variables, config, out_dir: str,
     img_s = jax.ShapeDtypeStruct((batch_size, H, W, 3), jnp.uint8)
     wav_s = jax.ShapeDtypeStruct(
         (batch_size, config.in_plane, config.audio_samples), jnp.float32)
-    exported = jax_export.export(fn)(img_s, wav_s)
+    # multi-platform lowering: export usually runs on a CPU host but the
+    # artifact must execute on TPU serving hosts too — without this the
+    # Exported pins platforms=(exporting backend,) and jax refuses to
+    # run it anywhere else
+    exported = jax_export.export(fn, platforms=("cpu", "tpu"))(img_s, wav_s)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "predict.stablehlo"), "wb") as f:
@@ -123,27 +127,13 @@ class ExportedPredictor:
     def predict(self, images: np.ndarray, waveforms: np.ndarray
                 ) -> Dict[str, np.ndarray]:
         """Chunk/pad to the artifact's fixed batch (its shapes are baked
-        into the program)."""
-        if images.shape[0] == 0:
-            raise ValueError("empty batch")
-        img_s, wav_s = self.expected_shapes()
-        if tuple(images.shape[1:]) != img_s:
-            raise ValueError(f"image shape {tuple(images.shape[1:])} != "
-                             f"artifact {img_s}")
-        if tuple(waveforms.shape[1:]) != wav_s:
-            raise ValueError(f"waveform shape {tuple(waveforms.shape[1:])} "
-                             f"!= artifact {wav_s}")
-        b = self.batch_sizes[0]
-        n = images.shape[0]
-        masks, confs = [], []
-        for start in range(0, n, b):
-            chunk = min(n - start, b)
-            img = np.zeros((b,) + images.shape[1:], np.uint8)
-            wav = np.zeros((b,) + waveforms.shape[1:], np.float32)
-            img[:chunk] = images[start:start + chunk]
-            wav[:chunk] = waveforms[start:start + chunk]
+        into the program) via the shared serving loop."""
+        from cavp_tpu.engine.predictor import run_chunked
+
+        def forward_batch(img, wav):
             mask, conf = self(img, wav)
-            masks.append(mask[:chunk])
-            confs.append(conf[:chunk])
-        return {"mask": np.concatenate(masks),
-                "conf": np.concatenate(confs)}
+            return {"mask": mask, "conf": conf}
+
+        img_s, wav_s = self.expected_shapes()
+        return run_chunked(forward_batch, self.batch_sizes, img_s, wav_s,
+                           images, waveforms)

@@ -22,6 +22,43 @@ from cavp_tpu.engine.checkpoint import load_model_variables
 from cavp_tpu.engine.loops import preprocess_audio
 
 
+def run_chunked(forward_batch, batch_sizes, img_shape, wav_shape,
+                images: np.ndarray, waveforms: np.ndarray
+                ) -> Dict[str, np.ndarray]:
+    """Shared padding-safe serving loop (Predictor + ExportedPredictor):
+    validates the compiled shapes, pads each chunk up to a compiled
+    bucket, slices the padding back off, reassembles per-key.
+
+    ``forward_batch(img, wav) -> {name: np.ndarray [bucket, ...]}`` for
+    exactly-bucket-sized inputs. Off-config shapes are rejected — each
+    stray shape would otherwise trigger a fresh jit compile (minutes on
+    a remote TPU), breaking the fixed-compiled-shapes serving contract.
+    """
+    if images.shape[0] == 0:
+        raise ValueError("empty batch")
+    if tuple(images.shape[1:]) != tuple(img_shape):
+        raise ValueError(f"image shape {tuple(images.shape[1:])} != "
+                         f"compiled {tuple(img_shape)}")
+    if tuple(waveforms.shape[1:]) != tuple(wav_shape):
+        raise ValueError(f"waveform shape {tuple(waveforms.shape[1:])} != "
+                         f"compiled {tuple(wav_shape)}")
+    buckets = sorted(batch_sizes)
+    n = images.shape[0]
+    outs: Dict[str, list] = {}
+    start = 0
+    while start < n:
+        chunk = min(n - start, buckets[-1])
+        bucket = next((b for b in buckets if chunk <= b), buckets[-1])
+        img = np.zeros((bucket,) + images.shape[1:], images.dtype)
+        wav = np.zeros((bucket,) + waveforms.shape[1:], waveforms.dtype)
+        img[:chunk] = images[start:start + chunk]
+        wav[:chunk] = waveforms[start:start + chunk]
+        for k, v in forward_batch(img, wav).items():
+            outs.setdefault(k, []).append(np.asarray(v)[:chunk])
+        start += chunk
+    return {k: np.concatenate(v) for k, v in outs.items()}
+
+
 class Predictor:
     """Batched sounding-object segmentation inference.
 
@@ -113,38 +150,17 @@ class Predictor:
                 ) -> Dict[str, np.ndarray]:
         """images: [N, H, W, 3] uint8; waveforms: [N, Cin, L] float32
         (16 kHz). Returns {"mask": [N, H, W] int32, "probs": optional}.
-        Requests larger than the biggest bucket are chunked. Off-config
-        shapes are rejected — each stray shape would otherwise trigger a
-        fresh jit compile (minutes on a remote TPU), breaking the
-        fixed-compiled-shapes serving contract."""
-        if images.shape[0] == 0:
-            raise ValueError("empty batch")
-        img_shape, wav_shape = self.expected_shapes()
-        if tuple(images.shape[1:]) != img_shape:
-            raise ValueError(
-                f"image shape {tuple(images.shape[1:])} != compiled "
-                f"{img_shape}")
-        if tuple(waveforms.shape[1:]) != wav_shape:
-            raise ValueError(
-                f"waveform shape {tuple(waveforms.shape[1:])} != compiled "
-                f"{wav_shape}")
-        n = images.shape[0]
-        masks, probs = [], []
-        start = 0
-        while start < n:
-            chunk = min(n - start, self.batch_sizes[-1])
-            bucket = self._bucket(chunk)
-            img = np.zeros((bucket,) + images.shape[1:], images.dtype)
-            wav = np.zeros((bucket,) + waveforms.shape[1:], waveforms.dtype)
-            img[:chunk] = images[start:start + chunk]
-            wav[:chunk] = waveforms[start:start + chunk]
+        Requests larger than the biggest bucket are chunked
+        (:func:`run_chunked`)."""
+
+        def forward_batch(img, wav):
             pred, pr = self._forward(self.variables, jnp.asarray(img),
                                      jnp.asarray(wav))
-            masks.append(np.asarray(pred)[:chunk])
+            out = {"mask": pred}
             if pr is not None:
-                probs.append(np.asarray(pr)[:chunk])
-            start += chunk
-        out = {"mask": np.concatenate(masks)}
-        if probs:
-            out["probs"] = np.concatenate(probs)
-        return out
+                out["probs"] = pr
+            return out
+
+        img_shape, wav_shape = self.expected_shapes()
+        return run_chunked(forward_batch, self.batch_sizes, img_shape,
+                           wav_shape, images, waveforms)

@@ -274,7 +274,18 @@ class PreemptionSignal:
         import signal
 
         def _handler(signum, frame):
+            if self.triggered and signum == signal.SIGINT:
+                # second Ctrl-C escalates: the flag is only polled at
+                # step boundaries, so a hung compile/transport call
+                # would otherwise be un-abortable — restore the
+                # previous handlers and raise immediately
+                self.uninstall()
+                raise KeyboardInterrupt
             self.triggered = True
+            logger.warning(
+                "caught signal %d: will checkpoint + exit at the next "
+                "step boundary (Ctrl-C again forces immediate abort)"
+                % signum)
 
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:

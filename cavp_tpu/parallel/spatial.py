@@ -38,13 +38,19 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, DATA_AXIS, None, None))
 
 
-def make_spatial_infer(model, mesh: Mesh,
-                       donate: bool = False):
-    """Returns infer(variables, image, audio) -> logits with the image
-    (and logits) H-sharded over ``mesh``. ``image`` [B, H, W, 3] NHWC —
-    H must be divisible by the mesh size at the model's output stride
-    granularity (use multiples of 32·n_devices to be safe across the
-    deep-stem/os8 paths)."""
+def make_spatial_infer(model, mesh: Mesh, variables: Optional[Any] = None):
+    """Returns infer -> logits with the image (and logits) H-sharded
+    over ``mesh``. ``image`` [B, H, W, 3] NHWC — H must be divisible by
+    the mesh size at the model's output stride granularity (use
+    multiples of 32·n_devices to be safe across the deep-stem/os8
+    paths).
+
+    Pass ``variables`` at build time to replicate them over the mesh
+    ONCE — the returned ``run(image, audio)`` then only places the
+    per-call inputs (re-placing the full ~60M-param tree every call
+    would be a per-leaf transfer storm, minutes over a tunneled chip).
+    Without it, the legacy ``run(variables, image, audio)`` signature is
+    returned and the caller owns variable placement."""
     img_shard = spatial_sharding(mesh)
     rep = NamedSharding(mesh, P())
 
@@ -53,13 +59,23 @@ def make_spatial_infer(model, mesh: Mesh,
         logits, _, _ = model.apply(variables, image, audio, eval_mode=True)
         return logits
 
-    def run(variables, image, audio):
+    if variables is not None:
+        placed = jax.tree.map(lambda a: jax.device_put(a, rep), variables)
+
+        def run(image, audio):
+            image = jax.device_put(image, img_shard)
+            audio = jax.device_put(audio, rep)
+            return infer(placed, image, audio)
+
+        return run
+
+    def run_with_vars(variables, image, audio):
         image = jax.device_put(image, img_shard)
         audio = jax.device_put(audio, rep)
         variables = jax.tree.map(lambda a: jax.device_put(a, rep), variables)
         return infer(variables, image, audio)
 
-    return run
+    return run_with_vars
 
 
 def make_spatial_eval_step(model, config, mesh: Mesh):

@@ -23,21 +23,28 @@ DATA_ROOT=${4:?}
 cd "$(dirname "$0")/.."
 
 run_and_gate() {
-  local name=$1 miou_ref=$2 f_ref=$3; shift 3
+  # Args: name miou_ref f_ref grep_tag miou_label f_label cmd...
+  # Parses "<label>: <float>" pairs from the tagged metric line —
+  # label-anchored regexes, NOT positional number-grepping (the literal
+  # "f_0.3" label itself would match a bare number regex).
+  local name=$1 miou_ref=$2 f_ref=$3 tag=$4 miou_label=$5 f_label=$6
+  shift 6
   echo "=== $name: $*"
-  local out
-  out=$("$@" 2>&1 | tee /dev/stderr | grep -E "mIoU" | tail -1)
-  python - "$name" "$miou_ref" "$f_ref" <<EOF
-import re, sys
-name, miou_ref, f_ref = sys.argv[1], float(sys.argv[2]), float(sys.argv[3])
-line = """$out"""
-nums = [float(x) for x in re.findall(r"\d+\.\d+", line)]
-assert nums, f"{name}: no metrics parsed from: {line!r}"
-# test_avss_resize prints 'mIoU: a | F: b | J&F: c';
-# test_avs_semantic prints '|ALL| mIoU: a | acc | fdr | f_1 | f_0.3'
-miou = nums[0] * (100.0 if nums[0] <= 1.0 else 1.0)
-f = (nums[1] if "J&F" in line else nums[4])
-f = f * (100.0 if f <= 1.0 else 1.0)
+  local line
+  line=$("$@" 2>&1 | tee /dev/stderr | grep -F "$tag" | head -1)
+  NAME="$name" MIOU_REF="$miou_ref" F_REF="$f_ref" LINE="$line" \
+      MIOU_LABEL="$miou_label" F_LABEL="$f_label" python - <<'EOF'
+import os, re, sys
+name = os.environ["NAME"]
+miou_ref, f_ref = float(os.environ["MIOU_REF"]), float(os.environ["F_REF"])
+line = os.environ["LINE"]
+def grab(label):
+    m = re.search(re.escape(label) + r":\s*(\d+(?:\.\d+)?)", line)
+    assert m, f"{name}: no '{label}:' value in {line!r}"
+    v = float(m.group(1))
+    return v * 100.0 if v <= 1.0 else v   # entry points print fractions
+miou = grab(os.environ["MIOU_LABEL"])
+f = grab(os.environ["F_LABEL"])
 dm, df = abs(miou - miou_ref), abs(f - f_ref)
 status = "PASS" if (dm <= 0.1 and df <= 0.1) else "FAIL"
 print(f"{name}: mIoU {miou:.2f} (ref {miou_ref}, d={dm:.3f}) "
@@ -47,15 +54,18 @@ EOF
 }
 
 fail=0
-run_and_gate "AVSBench-Object SS" 89.43 94.50 \
+# test_avss_resize prints: "mIoU: a | F: b | J&F: c"
+run_and_gate "AVSBench-Object SS" 89.43 94.50 "J&F" "mIoU" "F" \
   python test_avss_resize.py --setup avss_binary --resize_flag \
     --avsbench_split v1s --ckpt_path "$SS_CKPT" --data_root "$DATA_ROOT" \
     --wandb_mode disabled || fail=1
-run_and_gate "AVSBench-Object MS" 72.79 83.05 \
+run_and_gate "AVSBench-Object MS" 72.79 83.05 "J&F" "mIoU" "F" \
   python test_avss_resize.py --setup avss_binary --resize_flag \
     --avsbench_split v1m --ckpt_path "$MS_CKPT" --data_root "$DATA_ROOT" \
     --wandb_mode disabled || fail=1
-run_and_gate "AVSBench-Semantics" 44.70 57.76 \
+# test_avs_semantic prints: "|ALL| mIoU: a | acc: .. | fdr: .. | f_1: .. | f_0.3: x"
+# (grab the |ALL| line, never the |MS| subset line printed after it)
+run_and_gate "AVSBench-Semantics" 44.70 57.76 "|ALL|" "mIoU" "f_0.3" \
   python test_avs_semantic.py --setup avss --resize_flag \
     --ckpt_path "$AVSS_CKPT" --data_root "$DATA_ROOT" \
     --wandb_mode disabled || fail=1

@@ -140,3 +140,22 @@ def VisualAugmentationGuard(png):
     from cavp_tpu.data.transforms import VisualAugmentation
 
     return VisualAugmentation.native_open_binary_mask(png) is None
+
+
+def test_binary_guard_rejects_8bit_01_mask(tmp_path):
+    """An 8-bit gray PNG whose values are {0,1} must NOT take the native
+    binary path: PIL's convert('1') thresholds at 128 (dither), mapping
+    it to ~zeros — the reference behavior — while the raw indices would
+    stay binary. The guard is the header mode, not the value range."""
+    from cavp_tpu.data.transforms import VisualAugmentation
+
+    m = (np.arange(30 * 40).reshape(30, 40) % 2).astype(np.uint8)  # {0,1}
+    p = str(tmp_path / "gray01.png")
+    Image.fromarray(m, mode="L").save(p)
+    assert VisualAugmentation.native_open_binary_mask(p) is None
+    # true 1-bit files still take the native path
+    b = str(tmp_path / "bit1.png")
+    Image.fromarray((m * 255)).convert("1").save(b)
+    lab = VisualAugmentation.native_open_binary_mask(b)
+    assert lab is not None
+    np.testing.assert_array_equal(np.asarray(lab), m)

@@ -41,8 +41,9 @@ class TestSpatialSharding:
         )(variables, image, audio)
 
         mesh = create_mesh(num_devices=8)
-        infer = make_spatial_infer(model, mesh)
-        got = infer(variables, image, audio)
+        # build-time variables: replicated over the mesh ONCE
+        infer = make_spatial_infer(model, mesh, variables=variables)
+        got = infer(image, audio)
         # sharded result is H-partitioned; same values
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)

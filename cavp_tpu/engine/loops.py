@@ -34,10 +34,10 @@ from cavp_tpu.losses import corocl_loss, cross_entropy
 from cavp_tpu.metrics import (
     eval_fmeasure,
     fg_init,
-    fg_update,
+    fg_update_weighted,
     mask_iou,
     miou_init,
-    miou_update,
+    miou_update_weighted,
 )
 from cavp_tpu.models.soundbank import (
     overwrite_from_bank,
@@ -286,7 +286,7 @@ def eval_metrics_result(m: EvalMetrics) -> Dict[str, jnp.ndarray]:
 def _multi_source_flag(pix_label: jnp.ndarray, thresh: int = 100) -> jnp.ndarray:
     """validation's MS gate (trainer_cavp_avss_image.py:449-451): more
     than 2 label values (incl. bg/ignore) covering >100 px each.
-    Compare+reduce instead of scatter (see metrics.miou._class_hist)."""
+    Compare+reduce instead of scatter (see metrics.miou._frame_hist)."""
     flat = jnp.clip(pix_label.reshape(-1, 1), 0, 255)
     values = jnp.arange(256, dtype=flat.dtype).reshape(1, -1)
     hist = jnp.sum((flat == values).astype(jnp.float32), axis=0)
@@ -316,14 +316,17 @@ def make_eval_step(model, config):
 
         ms = jax.vmap(_multi_source_flag)(pix_label).astype(jnp.float32) * valid
 
-        return EvalMetrics(
-            miou_all=miou_update(metrics.miou_all, logits, pix_label,
-                                 weight=valid),
-            miou_ms=miou_update(metrics.miou_ms, logits, pix_label,
-                                weight=ms),
-            fg_all=fg_update(metrics.fg_all, logits, pix_label, weight=valid),
-            fg_ms=fg_update(metrics.fg_ms, logits, pix_label, weight=ms),
-        )
+        # argmax over the [N,H,W,C] logits once; per-frame histograms are
+        # shared between the ALL and multi-source accumulators (weights
+        # are per-frame 0/1 — exact, bitwise-equal to separate updates).
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        miou_all, miou_ms = miou_update_weighted(
+            (metrics.miou_all, metrics.miou_ms), pred, pix_label,
+            (valid, ms))
+        fg_all, fg_ms = fg_update_weighted(
+            (metrics.fg_all, metrics.fg_ms), pred, pix_label, (valid, ms))
+        return EvalMetrics(miou_all=miou_all, miou_ms=miou_ms,
+                           fg_all=fg_all, fg_ms=fg_ms)
 
     return eval_step
 

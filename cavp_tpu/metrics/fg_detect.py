@@ -17,6 +17,52 @@ def fg_init(num_classes: int) -> jnp.ndarray:
     return jnp.zeros((num_classes, num_classes), jnp.float32)
 
 
+def fg_update_weighted(
+    confusions: Tuple[jnp.ndarray, ...],
+    pred: jnp.ndarray,      # [..., H, W] int, 0-based argmax of the logits
+    target: jnp.ndarray,    # [..., H, W]
+    weights: Tuple[Optional[jnp.ndarray], ...],  # per-frame 0/1 [...] each
+    ignore_index: int = 255,
+) -> Tuple[jnp.ndarray, ...]:
+    """Shared-work multi-weight confusion update.
+
+    The eval loop keeps ALL + multi-source confusions over the same
+    logits, differing only by a per-frame 0/1 weight. The per-frame
+    confusion ``onehot(true)^T @ onehot(pred)`` — one MXU matmul per
+    frame instead of a serialized scatter over every pixel; bf16 0/1
+    inputs with f32 accumulation are exact (< 2^24 counts) at 2x the MXU
+    rate — is computed ONCE and contracted with each weight vector
+    (exact: per-frame counts are integers in f32). ``None`` = all-ones.
+    Weights must be 0/1 per frame (non-binary weights would scale counts
+    here; the single-weight reference semantics binarized them).
+    """
+    n = confusions[0].shape[0]
+    t = target.astype(jnp.int32)
+    mask = (t >= 0) & (t < n) & (t != ignore_index)
+
+    batch = 1
+    for d in target.shape[:-2]:
+        batch *= d
+    npix = target.shape[-2] * target.shape[-1]
+    tf = t.reshape(batch, npix)
+    pf = pred.astype(jnp.int32).reshape(batch, npix)
+    maskf = mask.reshape(batch, npix)
+
+    classes = jnp.arange(n, dtype=jnp.int32)
+    oh_t = ((tf[:, :, None] == classes) & maskf[:, :, None]).astype(
+        jnp.bfloat16)
+    oh_p = (pf[:, :, None] == classes).astype(jnp.bfloat16)
+    conf_f = jnp.einsum("bpi,bpj->bij", oh_t, oh_p,
+                        preferred_element_type=jnp.float32)
+
+    out = []
+    for conf, w in zip(confusions, weights):
+        wv = (jnp.ones((batch,), jnp.float32) if w is None
+              else w.reshape(batch).astype(jnp.float32))
+        out.append(conf + jnp.einsum("b,bij->ij", wv, conf_f))
+    return tuple(out)
+
+
 def fg_update(
     confusion: jnp.ndarray,
     logits: jnp.ndarray,    # [..., H, W, C]
@@ -24,23 +70,11 @@ def fg_update(
     ignore_index: int = 255,
     weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    n = confusion.shape[0]
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    t = target.astype(jnp.int32)
-    mask = (t >= 0) & (t < n) & (t != ignore_index)
-    if weight is not None:
-        w = weight.reshape(weight.shape + (1, 1)).astype(bool)
-        mask = mask & jnp.broadcast_to(w, mask.shape)
-    # confusion += onehot(true)^T @ onehot(pred): one MXU matmul instead
-    # of a serialized scatter over every pixel. bf16 0/1 inputs with f32
-    # accumulation are exact (< 2^24 counts) at 2x the MXU rate.
-    classes = jnp.arange(n, dtype=jnp.int32)
-    oh_t = ((t.reshape(-1, 1) == classes) & mask.reshape(-1, 1)).astype(
-        jnp.bfloat16)
-    oh_p = (pred.reshape(-1, 1) == classes).astype(jnp.bfloat16)
-    upd = jnp.einsum("pi,pj->ij", oh_t, oh_p,
-                     preferred_element_type=jnp.float32)
-    return confusion + upd
+    w = None if weight is None else (weight.astype(bool))
+    (out,) = fg_update_weighted((confusion,), pred, target, (w,),
+                                ignore_index)
+    return out
 
 
 def _nanmean(x: jnp.ndarray) -> jnp.ndarray:

@@ -21,12 +21,45 @@ is why 16k-token fusion is cheap on TPU.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cavp_tpu.models.layers import Dense, LayerNorm, Mlp
+from cavp_tpu.models.layers import (Dense, LayerNorm, Mlp, kaiming_uniform,
+                                    torch_bias_init)
+
+
+class _Lin(nn.Module):
+    """Dense with statically-known ``in_features`` so the raw kernel is
+    reachable from the parent (params created in setup, not compact).
+    Param tree (``<name>/kernel``, ``<name>/bias``) and initializers are
+    identical to :class:`~cavp_tpu.models.layers.Dense`, so converted
+    torch checkpoints map unchanged."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        kshape = (self.in_features, self.features)
+        self.kernel = self.param("kernel", kaiming_uniform(), kshape,
+                                 self.param_dtype)
+        if self.use_bias:
+            self.bias = self.param("bias", torch_bias_init(kshape),
+                                   (self.features,), self.param_dtype)
+
+    def params(self):
+        return self.kernel, (self.bias if self.use_bias else None)
+
+    def __call__(self, x):
+        dtype = self.dtype or x.dtype
+        y = jnp.matmul(x.astype(dtype), self.kernel.astype(dtype))
+        if self.use_bias:
+            y = y + self.bias.astype(dtype)
+        return y
 
 
 class PatchEmbed(nn.Module):
@@ -44,11 +77,26 @@ class PatchEmbed(nn.Module):
 
 
 class Attention(nn.Module):
-    """attn.py:41-106 — sigmoid attention with separate q/k/v."""
+    """attn.py:41-106 — sigmoid attention with separate q/k/v.
+
+    ``collapse_rank1`` (default on): with a single key/value token the
+    sigmoid attention is a rank-1 gate, so the two full C x C matmuls
+    over all N visual tokens (the q projection and the output
+    projection) fold into per-image C x heads contractions::
+
+        scores[t,h] = <q_t, k>_h = x_q[t] @ (Wq_h @ k_h)      (fold Wqk)
+        out[t]      = (gate_t ⊙ v) @ Wp = gate_t @ (v_h · Wp_h)  (fold M)
+
+    Exact in real arithmetic (pure reassociation of the sums); cuts the
+    fusion stage's attention MXU work ~3x and skips materializing the
+    q / pre-projection tensors entirely. The returned ``attn`` equals
+    the reference's sigmoid weights bit-for-bit in value semantics.
+    """
 
     dim: int
     num_heads: int = 4
     qkv_bias: bool = False
+    collapse_rank1: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -64,11 +112,39 @@ class Attention(nn.Module):
         h = self.num_heads
         hd = C // h
         scale = hd ** -0.5
+        dtype = self.dtype or x_q.dtype
 
-        q = Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(x_q)
-        k = Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="k")(x_k)
-        v = Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="v")(x_v)
+        q_m = _Lin(C, C, use_bias=self.qkv_bias, dtype=self.dtype, name="q")
+        k_m = _Lin(C, C, use_bias=self.qkv_bias, dtype=self.dtype, name="k")
+        v_m = _Lin(C, C, use_bias=self.qkv_bias, dtype=self.dtype, name="v")
+        p_m = _Lin(C, C, use_bias=True, dtype=self.dtype, name="proj")
 
+        k = k_m(x_k)
+        v = v_m(x_v)
+
+        if Nk == 1 and self.collapse_rank1:
+            Wq, _ = q_m.params()
+            Wp, bp = p_m.params()
+            kh = k.reshape(Bk, h, hd).astype(dtype)
+            vh = v.reshape(Bk, h, hd).astype(dtype)
+            # Per-image folded projections (tiny: Bk x C x h each).
+            wqk = jnp.einsum("chd,bhd->bch",
+                             Wq.astype(dtype).reshape(C, h, hd), kh)
+            m = jnp.einsum("bhd,hdc->bhc", vh,
+                           Wp.astype(dtype).reshape(h, hd, C))
+            xq = x_q.astype(dtype)
+            if dup > 1:
+                scores = jnp.einsum("bnc,dbch->dbnh", xq,
+                                    wqk.reshape(dup, B, C, h))
+                scores = scores.reshape(Bk, N, h)
+            else:
+                scores = jnp.einsum("bnc,bch->bnh", xq, wqk)
+            gate = nn.sigmoid(scores * scale)  # sigmoid, not softmax
+            out = jnp.einsum("bnh,bhc->bnc", gate, m) + bp.astype(dtype)
+            attn = gate.transpose(0, 2, 1)[..., None]  # [Bk, h, N, 1]
+            return out, attn
+
+        q = q_m(x_q)
         q = q.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
         if dup > 1:
             q = jnp.tile(q, (dup, 1, 1, 1))
@@ -80,7 +156,7 @@ class Attention(nn.Module):
         attn = nn.sigmoid(attn)  # the load-bearing non-softmax (attn.py:93)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        out = Dense(C, dtype=self.dtype, name="proj")(out)
+        out = p_m(out)
         return out, attn
 
 
@@ -91,13 +167,16 @@ class Block(nn.Module):
     num_heads: int = 4
     mlp_ratio: float = 4.0
     qkv_bias: bool = False
+    collapse_rank1: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
         self.norm1 = LayerNorm()
         self.norm2 = LayerNorm()
         self.attn = Attention(dim=self.dim, num_heads=self.num_heads,
-                              qkv_bias=self.qkv_bias, dtype=self.dtype)
+                              qkv_bias=self.qkv_bias,
+                              collapse_rank1=self.collapse_rank1,
+                              dtype=self.dtype)
         self.mlp = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
                        out_features=self.dim, dtype=self.dtype)
 
@@ -165,6 +244,7 @@ class CrossAttention(nn.Module):
     num_heads: int = 4
     mlp_ratio: float = 4.0
     qkv_bias: bool = False
+    collapse_rank1: bool = True
     num_patches_v: int = 128 * 128
     dtype: Any = jnp.float32
 
@@ -181,6 +261,7 @@ class CrossAttention(nn.Module):
         self.blocks = [
             Block(dim=self.embed_dim, num_heads=self.num_heads,
                   mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                  collapse_rank1=self.collapse_rank1,
                   dtype=self.dtype, name=f"block{i}")
             for i in range(self.depth)
         ]

@@ -126,3 +126,63 @@ class TestVisualBaseline:
         assert logits.shape == (1, 64, 64, 3)
         assert fea.shape[-1] == 112  # aspp64 + 48 for the r18 backbone
         assert pack == {}
+
+
+class TestRank1AttentionCollapse:
+    """The sigmoid attention's rank-1 collapse (attn.py Attention,
+    ``collapse_rank1``) must match the reference q/proj-matmul path
+    exactly up to f32 reassociation, forward and backward, for both the
+    eval (dup=1) and train (dup=2) shapes."""
+
+    def _modules(self):
+        from cavp_tpu.models.attn import Attention
+        fast = Attention(dim=304, num_heads=4, collapse_rank1=True)
+        ref = Attention(dim=304, num_heads=4, collapse_rank1=False)
+        return fast, ref
+
+    @pytest.mark.parametrize("dup", [1, 2])
+    def test_forward_equivalence(self, dup):
+        fast, ref = self._modules()
+        B, N, C = 3, 29, 304
+        xq = jax.random.normal(jax.random.PRNGKey(0), (B, N, C))
+        xk = jax.random.normal(jax.random.PRNGKey(1), (dup * B, 1, C))
+        params = ref.init(jax.random.PRNGKey(2), xq, xk, xk, dup)
+        of, af = fast.apply(params, xq, xk, xk, dup)
+        orf, arf = ref.apply(params, xq, xk, xk, dup)
+        assert of.shape == orf.shape and af.shape == arf.shape
+        np.testing.assert_allclose(np.asarray(of), np.asarray(orf),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(af), np.asarray(arf),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_param_tree_identical(self):
+        fast, ref = self._modules()
+        xq = jnp.zeros((1, 4, 304))
+        xk = jnp.zeros((1, 1, 304))
+        pf = fast.init(jax.random.PRNGKey(0), xq, xk, xk)
+        pr = ref.init(jax.random.PRNGKey(0), xq, xk, xk)
+        assert (jax.tree_util.tree_structure(pf)
+                == jax.tree_util.tree_structure(pr))
+        assert all(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda a, b: bool(jnp.all(a == b)), pf, pr)))
+
+    def test_gradient_equivalence(self):
+        fast, ref = self._modules()
+        B, N, C, dup = 2, 17, 304, 2
+        xq = jax.random.normal(jax.random.PRNGKey(0), (B, N, C))
+        xk = jax.random.normal(jax.random.PRNGKey(1), (dup * B, 1, C))
+        params = ref.init(jax.random.PRNGKey(2), xq, xk, xk, dup)
+
+        def loss(p, module):
+            out, attn = module.apply(p, xq, xk, xk, dup)
+            return jnp.sum(out * out) + jnp.sum(attn)
+
+        gf = jax.grad(loss)(params, fast)
+        gr = jax.grad(loss)(params, ref)
+
+        def check(path, lf, lr):
+            np.testing.assert_allclose(np.asarray(lf), np.asarray(lr),
+                                       rtol=5e-4, atol=5e-5,
+                                       err_msg=jax.tree_util.keystr(path))
+
+        jax.tree_util.tree_map_with_path(check, gf, gr)

@@ -38,7 +38,8 @@ def main():
     from cavp_tpu.engine.runner import build_model
 
     config = get_config("avss").replace(
-        image_width=224, image_height=224, compute_dtype="bfloat16")
+        image_width=224, image_height=224, compute_dtype="bfloat16",
+        use_pallas_fusion=True)
     model = build_model(config)
     rng = jax.random.PRNGKey(0)
     image = jnp.zeros((1, 224, 224, 3), jnp.float32)

@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "wandb image upload during validation")
     parser.add_argument("--use_pallas_mel", default=False, action="store_true",
                         help="use the fused Pallas log-mel kernel")
+    parser.add_argument("--use_pallas_fusion", default=False,
+                        action="store_true",
+                        help="use the fused Pallas visual-fusion kernel on "
+                             "the eval path")
     parser.add_argument("--ckpt_path", default="", type=str,
                         help="checkpoint to load (orbax dir or torch .pth)")
     parser.add_argument("--compiler_options", default="", type=str,

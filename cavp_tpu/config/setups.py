@@ -102,6 +102,11 @@ class Config:
     compute_dtype: str = "bfloat16"  # dtype for conv/matmul activations
     param_dtype: str = "float32"
     use_pallas_mel: bool = False  # fused Pallas log-mel frontend
+    # fused Pallas visual-fusion kernel on the eval path (projector +
+    # patch embeds + sigmoid-CA block + final norm in one VMEM pass);
+    # train keeps the flax composition (CoroCL needs the projector
+    # output and BN stat mutation)
+    use_pallas_fusion: bool = False
     # "key=val,key=val" forwarded to XLA per-compile (TPU flags must NOT
     # go in XLA_FLAGS — the client parser aborts on them; see
     # docs/performance.md "Recorded ablations"). Example:

@@ -293,6 +293,42 @@ def _multi_source_flag(pix_label: jnp.ndarray, thresh: int = 100) -> jnp.ndarray
     return jnp.sum(hist > thresh) > 2
 
 
+def make_inference_forward(model, config):
+    """Returns fwd(variables, image, audio) -> logits for the eval path.
+
+    With ``config.use_pallas_fusion`` (and a CAVP-style model exposing
+    the forward_visual_feature / forward_cls methods), the fusion stage
+    runs through the fused Pallas kernel
+    (:mod:`cavp_tpu.ops.pallas.fusion_kernel`) instead of the flax
+    composition — same math, one VMEM-resident pass over the tokens.
+    """
+    use_fused = getattr(config, "use_pallas_fusion", False) and all(
+        hasattr(model, m) for m in
+        ("forward_visual_feature", "forward_audio_feature", "forward_cls"))
+    if not use_fused:
+        def fwd(variables, image, audio):
+            logits, _, _ = model.apply(variables, image, audio,
+                                       eval_mode=True)
+            return logits
+        return fwd
+
+    from cavp_tpu.ops.pallas.fusion_kernel import fused_visual_fusion
+
+    def fwd(variables, image, audio):
+        fea_v = model.apply(variables, image, False,
+                            method="forward_visual_feature")
+        fea_a = model.apply(variables, audio, False,
+                            method="forward_audio_feature")
+        b, h, w, c = fea_v.shape
+        # CAVP pins CROSS_ATTENTION at 4 heads (models/attn.py:173,235)
+        tokens = fused_visual_fusion(variables["params"], fea_v, fea_a,
+                                     num_heads=4)
+        return model.apply(variables, tokens.reshape(b, h, w, c),
+                           image.shape[1:3], False, method="forward_cls")
+
+    return fwd
+
+
 def make_eval_step(model, config):
     """Returns eval_step(variables, metrics, batch) -> metrics.
 
@@ -302,6 +338,7 @@ def make_eval_step(model, config):
     """
     n_frames = config.mel_frames
     use_pallas = getattr(config, "use_pallas_mel", False)
+    fused_fwd = make_inference_forward(model, config)
 
     def eval_step(variables, metrics: EvalMetrics, batch) -> EvalMetrics:
         image = batch["image"]
@@ -312,7 +349,7 @@ def make_eval_step(model, config):
         pix_label = batch["pix_label"]
         valid = batch["valid"].astype(jnp.float32)
 
-        logits, _, _ = model.apply(variables, image, audio, eval_mode=True)
+        logits = fused_fwd(variables, image, audio)
 
         ms = jax.vmap(_multi_source_flag)(pix_label).astype(jnp.float32) * valid
 

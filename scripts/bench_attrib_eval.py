@@ -131,6 +131,14 @@ def main():
     ms, fl = timed(fus_f, params, fea_v, fea_a)
     rows.append(("fusion", ms, fl))
 
+    # fusion via the fused Pallas kernel (round 3)
+    from cavp_tpu.ops.pallas.fusion_kernel import fused_visual_fusion
+
+    def fus_pallas_f(p, fv, fa):
+        return jnp.sum(fused_visual_fusion(p, fv, fa).astype(jnp.float32))
+    ms, fl = timed(fus_pallas_f, params, fea_v, fea_a)
+    rows.append(("fusion_pallas", ms, fl))
+
     # classifier head + 224^2 bilinear upsample
     def head_f(p, fv):
         return model.apply({"params": p, "batch_stats": batch_stats}, fv,
@@ -211,6 +219,13 @@ def main():
                    variables, metrics, batch,
                    iters=20, sync=lambda out: out.miou_all.inter)
     rows.append(("FULL_eval_step", ms, fl))
+
+    eval_step_pl = make_eval_step(
+        model, config.replace(use_pallas_fusion=True))
+    ms, fl = timed(lambda v, m, b: eval_step_pl(v, m, b),
+                   variables, metrics, batch,
+                   iters=20, sync=lambda out: out.miou_all.inter)
+    rows.append(("FULL_eval_step_pallas", ms, fl))
 
     for name, ms, fl in rows:
         out = dict(component=name, ms=round(ms, 2))

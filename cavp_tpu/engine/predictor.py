@@ -105,14 +105,16 @@ class Predictor:
         mean = np.asarray(config.image_mean, np.float32)
         std = np.asarray(config.image_std, np.float32)
 
+        from cavp_tpu.engine.loops import make_inference_forward
+        infer = make_inference_forward(self.model, config)
+
         def _forward(variables, image, waveform):
             img = (image.astype(jnp.float32) / 255.0 - mean) / std
             audio = preprocess_audio(waveform,
                                      n_frames=config.mel_frames,
                                      spec_min=config.spec_min,
                                      spec_max=config.spec_max)
-            logits, _, _ = self.model.apply(variables, img, audio,
-                                            eval_mode=True)
+            logits = infer(variables, img, audio)
             pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if return_probs:
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

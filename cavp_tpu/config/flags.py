@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                         action="store_true",
                         help="use the fused Pallas visual-fusion kernel on "
                              "the eval path")
+    parser.add_argument("--use_pallas_argmax", default=False,
+                        action="store_true",
+                        help="fused upsample+argmax kernel on the eval "
+                             "metric path (measured slower in-context; "
+                             "see docs/performance.md)")
     parser.add_argument("--ckpt_path", default="", type=str,
                         help="checkpoint to load (orbax dir or torch .pth)")
     parser.add_argument("--compiler_options", default="", type=str,

@@ -107,6 +107,9 @@ class Config:
     # train keeps the flax composition (CoroCL needs the projector
     # output and BN stat mutation)
     use_pallas_fusion: bool = False
+    # fused bilinear-upsample+argmax kernel on the eval metric path
+    # (requires use_pallas_fusion; bitwise-equal pred)
+    use_pallas_argmax: bool = False
     # "key=val,key=val" forwarded to XLA per-compile (TPU flags must NOT
     # go in XLA_FLAGS — the client parser aborts on them; see
     # docs/performance.md "Recorded ablations"). Example:

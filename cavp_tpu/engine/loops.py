@@ -329,6 +329,53 @@ def make_inference_forward(model, config):
     return fwd
 
 
+def make_eval_pred_forward(model, config):
+    """Returns pred_fn(variables, image, audio) -> int32 argmax mask.
+
+    The metric path only consumes the argmax of the upsampled logits —
+    with ``use_pallas_fusion`` the classifier-resolution logits go
+    through the fused bilinear-upsample+argmax kernel
+    (:mod:`cavp_tpu.ops.pallas.upsample_argmax_kernel`), so the
+    full-resolution logits tensor (~570 MB bf16 at bench shapes) never
+    touches HBM. Bitwise-equal to argmax(plain logits) — the interp
+    matrices have <=2 nonzeros per row, so the blocked matmuls round
+    identically (pinned in tests/test_pallas_fusion.py).
+    """
+    use_fused = getattr(config, "use_pallas_fusion", False) and all(
+        hasattr(model, m) for m in
+        ("forward_visual_feature", "forward_audio_feature", "forward_cls"))
+    if not use_fused:
+        fwd = make_inference_forward(model, config)
+
+        def pred_fn(variables, image, audio):
+            return jnp.argmax(fwd(variables, image, audio),
+                              axis=-1).astype(jnp.int32)
+        return pred_fn
+
+    from cavp_tpu.ops.pallas.fusion_kernel import fused_visual_fusion
+    from cavp_tpu.ops.pallas.upsample_argmax_kernel import upsample_argmax
+    from cavp_tpu.ops.interp import interpolate_bilinear
+    use_pallas_argmax = getattr(config, "use_pallas_argmax", False)
+
+    def pred_fn(variables, image, audio):
+        fea_v = model.apply(variables, image, False,
+                            method="forward_visual_feature")
+        fea_a = model.apply(variables, audio, False,
+                            method="forward_audio_feature")
+        b, h, w, c = fea_v.shape
+        tokens = fused_visual_fusion(variables["params"], fea_v, fea_a,
+                                     num_heads=4)
+        head = model.apply(variables, tokens.reshape(b, h, w, c),
+                           method=lambda m, f: m.segment.upsample(f, False))
+        if use_pallas_argmax:
+            return upsample_argmax(head, image.shape[1:3])
+        logits = interpolate_bilinear(head, image.shape[1:3],
+                                      align_corners=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return pred_fn
+
+
 def make_eval_step(model, config):
     """Returns eval_step(variables, metrics, batch) -> metrics.
 
@@ -338,7 +385,7 @@ def make_eval_step(model, config):
     """
     n_frames = config.mel_frames
     use_pallas = getattr(config, "use_pallas_mel", False)
-    fused_fwd = make_inference_forward(model, config)
+    pred_fwd = make_eval_pred_forward(model, config)
 
     def eval_step(variables, metrics: EvalMetrics, batch) -> EvalMetrics:
         image = batch["image"]
@@ -349,14 +396,13 @@ def make_eval_step(model, config):
         pix_label = batch["pix_label"]
         valid = batch["valid"].astype(jnp.float32)
 
-        logits = fused_fwd(variables, image, audio)
-
         ms = jax.vmap(_multi_source_flag)(pix_label).astype(jnp.float32) * valid
 
-        # argmax over the [N,H,W,C] logits once; per-frame histograms are
+        # argmax over the [N,H,W,C] logits once (fused into the upsample
+        # kernel when use_pallas_fusion); per-frame histograms are
         # shared between the ALL and multi-source accumulators (weights
         # are per-frame 0/1 — exact, bitwise-equal to separate updates).
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pred = pred_fwd(variables, image, audio)
         miou_all, miou_ms = miou_update_weighted(
             (metrics.miou_all, metrics.miou_ms), pred, pix_label,
             (valid, ms))

@@ -96,3 +96,61 @@ class TestEvalForwardWiring:
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestUpsampleArgmax:
+    """Fused bilinear-upsample+argmax kernel: bitwise-equal pred."""
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    @pytest.mark.parametrize("shape", [(14, 14, 56, 56), (56, 56, 224, 224)])
+    def test_bitwise_vs_module_path(self, dtype, shape):
+        from cavp_tpu.ops.interp import interpolate_bilinear
+        from cavp_tpu.ops.pallas.upsample_argmax_kernel import upsample_argmax
+
+        h, w, H, W = shape
+        B, C = 2, 71
+        logits = jax.random.normal(jax.random.PRNGKey(0),
+                                   (B, h, w, C)).astype(dtype)
+        ref = jnp.argmax(
+            interpolate_bilinear(logits, (H, W), align_corners=False),
+            axis=-1).astype(jnp.int32)
+        got = upsample_argmax(logits, (H, W), interpret=True)
+        assert got.shape == ref.shape and got.dtype == ref.dtype
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    @pytest.mark.parametrize("use_argmax_kernel", [False, True])
+    def test_eval_step_metrics_identical(self, use_argmax_kernel):
+        """Full eval step with use_pallas_fusion on vs off (and
+        optionally the upsample+argmax kernel): pred is bitwise-equal
+        modulo the fusion kernel's f32-level deviations, so on a
+        margin-separated synthetic batch the metric counters must match
+        exactly."""
+        from cavp_tpu.config import get_config
+        from cavp_tpu.data.synthetic import synthetic_eval_batch
+        from cavp_tpu.engine.loops import eval_metrics_init, make_eval_step
+        from cavp_tpu.engine.runner import build_model
+
+        config = get_config("avss").replace(
+            image_width=64, image_height=64, num_classes=5,
+            visual_backbone=18, compute_dtype="float32")
+        model = build_model(config)
+        batch = {k: jnp.asarray(v) for k, v in
+                 synthetic_eval_batch(config, 4).items()}
+        image = batch["image"]
+        variables = model.init(jax.random.PRNGKey(0), image[:1],
+                               jnp.zeros((1, 96, 64, 1)), eval_mode=True)
+
+        m0 = eval_metrics_init(config.num_classes)
+        off = make_eval_step(model, config)(variables, m0, batch)
+        on = make_eval_step(
+            model, config.replace(use_pallas_fusion=True,
+                                  use_pallas_argmax=use_argmax_kernel))(
+            variables, m0, batch)
+        for name in ("miou_all", "miou_ms"):
+            a, b = getattr(off, name), getattr(on, name)
+            np.testing.assert_allclose(np.asarray(a.inter),
+                                       np.asarray(b.inter), atol=2)
+            np.testing.assert_allclose(np.asarray(a.union),
+                                       np.asarray(b.union), atol=2)
+        np.testing.assert_allclose(np.asarray(off.fg_all),
+                                   np.asarray(on.fg_all), atol=2)

@@ -87,6 +87,22 @@ def main():
         out["mfu_pct"] = round(flops / dt / V5E_BF16_PEAK * 100, 1)
     emit(**out)
 
+    # eval forward through the fused Pallas fusion kernel (round 3)
+    from cavp_tpu.engine.loops import make_inference_forward
+    infer = make_inference_forward(model,
+                                   config.replace(use_pallas_fusion=True))
+    fwd_pl = jax.jit(lambda v, i, a: jnp.sum(infer(v, i, a)
+                                             .astype(jnp.float32)))
+    s = float(fwd_pl(variables, batch["image"], audio))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        o = fwd_pl(variables, batch["image"], audio)
+    s = float(o)  # one hard sync after the loop, as the row above
+    dt = (time.perf_counter() - t0) / 10
+    emit(metric="avss512_eval_fwd_frames_per_sec", variant="pallas_fusion",
+         batch_size=BS, value=round(BS / dt, 1),
+         step_ms=round(dt * 1e3, 1))
+
 
 if __name__ == "__main__":
     main()

@@ -110,6 +110,9 @@ class Config:
     # fused bilinear-upsample+argmax kernel on the eval metric path
     # (requires use_pallas_fusion; bitwise-equal pred)
     use_pallas_argmax: bool = False
+    # drop padding frames (v1 videos fill 5 of 10 slots) from eval
+    # batches and repack densely — exact same metric sums, fewer steps
+    eval_dense_pack: bool = True
     # "key=val,key=val" forwarded to XLA per-compile (TPU flags must NOT
     # go in XLA_FLAGS — the client parser aborts on them; see
     # docs/performance.md "Recorded ablations"). Example:

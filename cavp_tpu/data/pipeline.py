@@ -224,3 +224,38 @@ def flatten_video_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         flat[k] = v.reshape((B * T,) + v.shape[2:])
     flat["valid"] = batch["valid"].reshape(B * T)
     return flat
+
+
+def repack_valid_frames(batches, frame_batch: int = 0):
+    """Drop invalid (padding) frames and re-emit dense fixed-size flat
+    batches.
+
+    AVSS videos are padded to 10 frame slots but v1s/v1m videos carry
+    only 5 real frames (`visual_dataset.py:82-95` availability flags) —
+    the flat eval step runs the full forward on every slot and only
+    zero-weights the padding in the metrics. Repacking keeps the exact
+    same metric sums (dropped frames contributed weight 0; the final
+    partial batch is zero-padded with valid=0) while skipping the dead
+    forward passes — on a v1-heavy split that is ~2x fewer eval steps.
+    A fixed output size (default: the first batch's flat size) also
+    keeps one compiled shape even when the loader's last batch is
+    ragged.
+    """
+    buf = None
+    for batch in batches:
+        if frame_batch == 0:
+            frame_batch = batch["valid"].shape[0]
+        keep = batch["valid"] > 0
+        part = {k: v[keep] for k, v in batch.items()}
+        buf = part if buf is None else {
+            k: np.concatenate([buf[k], part[k]]) for k in part}
+        while buf["valid"].shape[0] >= frame_batch:
+            yield {k: v[:frame_batch] for k, v in buf.items()}
+            buf = {k: v[frame_batch:] for k, v in buf.items()}
+    if buf is not None and buf["valid"].shape[0]:
+        n = buf["valid"].shape[0]
+        out = {}
+        for k, v in buf.items():
+            pad = np.zeros((frame_batch - n,) + v.shape[1:], v.dtype)
+            out[k] = np.concatenate([v, pad])
+        yield out

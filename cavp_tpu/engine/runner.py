@@ -23,6 +23,7 @@ from cavp_tpu.data.pipeline import (
     DataLoader,
     collate_eval_videos,
     flatten_video_batch,
+    repack_valid_frames,
 )
 from cavp_tpu.engine.checkpoint import Engine, load_model_variables
 from cavp_tpu.engine.loops import (
@@ -508,15 +509,25 @@ def run_validation(config: Config, model, state, test_loader, mesh=None,
     upload_fwd = jax.jit(
         lambda v, img, aud: model.apply(v, img, aud, True)[0]
     ) if upload_names else None
-    for batch in test_loader:
-        names = batch.pop("name", None)
-        batch.pop("img_label", None)
-        batch.pop("frame_available", None)
-        if upload_names and names:
-            _upload_whitelisted(config, upload_fwd, variables, batch, names,
-                                upload_names, wandb_)
-        if batch["image"].ndim == 5:  # padded videos -> flat frames
-            batch = flatten_video_batch(batch)
+    def flat_batches():
+        for batch in test_loader:
+            names = batch.pop("name", None)
+            batch.pop("img_label", None)
+            batch.pop("frame_available", None)
+            if upload_names and names:
+                _upload_whitelisted(config, upload_fwd, variables, batch,
+                                    names, upload_names, wandb_)
+            if batch["image"].ndim == 5:  # padded videos -> flat frames
+                batch = flatten_video_batch(batch)
+            yield batch
+
+    stream = flat_batches()
+    if getattr(config, "eval_dense_pack", True):
+        # drop padding frames (v1 videos fill 5 of 10 slots) and re-emit
+        # dense fixed-size batches — metric sums are unchanged, the dead
+        # forward passes are skipped (data/pipeline.py)
+        stream = repack_valid_frames(stream)
+    for batch in stream:
         batch = _pad_to_devices(batch, n_dev)
         flat = shard_batch(batch, mesh)
         metrics = eval_step(variables, metrics, flat)

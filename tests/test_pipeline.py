@@ -120,3 +120,87 @@ class TestDataLoader:
         seen0 = [int(v) for b in l0 for v in b["x"][:, 0]]
         seen1 = [int(v) for b in l1 for v in b["x"][:, 0]]
         assert sorted(seen0 + seen1) == sorted(range(8))
+
+
+class TestRepackValidFrames:
+    """repack_valid_frames: dense eval batches, exact metric sums."""
+
+    def _mk_batch(self, n, valid_mask, seed=0):
+        rng = np.random.RandomState(seed)
+        return {
+            "image": rng.randn(n, 8, 8, 3).astype(np.float32),
+            "waveform": rng.randn(n, 1, 64).astype(np.float32),
+            "pix_label": rng.randint(0, 4, (n, 8, 8)).astype(np.int32),
+            "valid": np.asarray(valid_mask, np.float32),
+        }
+
+    def test_drops_invalid_fixed_size_and_tail_padding(self):
+        from cavp_tpu.data.pipeline import repack_valid_frames
+
+        batches = [
+            self._mk_batch(6, [1, 0, 1, 1, 0, 1], seed=1),
+            self._mk_batch(6, [1, 1, 1, 0, 0, 0], seed=2),
+            self._mk_batch(6, [0, 1, 1, 1, 1, 1], seed=3),
+        ]
+        out = list(repack_valid_frames(iter(batches)))
+        # 12 valid frames, emitted as batches of 6 -> exactly 2 batches
+        assert len(out) == 2
+        for b in out:
+            assert b["image"].shape[0] == 6
+        assert out[0]["valid"].sum() == 6
+        assert out[1]["valid"].sum() == 6
+        # frames preserved in order: first output batch = the valid
+        # frames of batch 1 then the first two of batch 2
+        np.testing.assert_array_equal(
+            out[0]["image"][:4], batches[0]["image"][[0, 2, 3, 5]])
+        np.testing.assert_array_equal(
+            out[0]["image"][4:], batches[1]["image"][:2])
+
+    def test_tail_batch_padded_with_invalid(self):
+        from cavp_tpu.data.pipeline import repack_valid_frames
+
+        out = list(repack_valid_frames(
+            iter([self._mk_batch(4, [1, 1, 1, 0])])))
+        assert len(out) == 1
+        assert out[0]["image"].shape[0] == 4
+        np.testing.assert_array_equal(out[0]["valid"], [1, 1, 1, 0])
+
+    def test_eval_metrics_unchanged(self):
+        """Padded-stream vs repacked-stream through the real eval step
+        must produce identical metric sums."""
+        import jax
+        import jax.numpy as jnp
+        from cavp_tpu.config import get_config
+        from cavp_tpu.data.pipeline import repack_valid_frames
+        from cavp_tpu.engine.loops import eval_metrics_init, make_eval_step
+        from cavp_tpu.engine.runner import build_model
+
+        config = get_config("avss").replace(
+            image_width=32, image_height=32, num_classes=4,
+            visual_backbone=18, compute_dtype="float32")
+        model = build_model(config)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)),
+                               jnp.zeros((1, 96, 64, 1)), eval_mode=True)
+        rng = np.random.RandomState(7)
+        batches = []
+        for s in range(3):
+            b = {
+                "image": rng.randn(4, 32, 32, 3).astype(np.float32),
+                "waveform": (rng.randn(4, 1, 16000) * 0.1).astype(np.float32),
+                "pix_label": rng.randint(0, 4, (4, 32, 32)).astype(np.int32),
+                "valid": np.asarray([1, 0, 1, 0], np.float32),
+            }
+            batches.append(b)
+        step = jax.jit(make_eval_step(model, config))
+
+        def run(stream):
+            m = eval_metrics_init(config.num_classes)
+            for b in stream:
+                m = step(variables, m, {k: jnp.asarray(v)
+                                        for k, v in b.items()})
+            return jax.tree_util.tree_map(np.asarray, m)
+
+        base = run(iter(batches))
+        packed = run(repack_valid_frames(iter(batches)))
+        jax.tree_util.tree_map(np.testing.assert_array_equal, base, packed)

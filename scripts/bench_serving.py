@@ -59,7 +59,8 @@ def bench_predictor():
     from cavp_tpu.engine.predictor import Predictor
 
     config = get_config("avss").replace(
-        image_width=224, image_height=224, compute_dtype="bfloat16")
+        image_width=224, image_height=224, compute_dtype="bfloat16",
+        use_pallas_fusion=True)
     p = Predictor(config, batch_sizes=(1, 8)).warmup()
     rng = np.random.RandomState(0)
     for b in (1, 8):

@@ -100,6 +100,21 @@ class Conv(nn.Module):
         kshape = ks + (x.shape[-1] // self.groups, self.features)
         kernel = self.param("kernel", kaiming_uniform(), kshape, self.param_dtype)
         dtype = self.dtype or x.dtype
+        # Heavily-dilated 3x3 convs at small maps (layer4 surgery d=2/4/8,
+        # ASPP rates 6/12/18 at 14x14) waste most MXU work on zero padding;
+        # rewrite them exactly as center-matmul + sliced edge-tap matmuls
+        # when the useful-FLOP fraction is low (ops/dilated.py).
+        from cavp_tpu.ops import dilated as _dilated
+        if (_dilated.ENABLED and ks == (3, 3) and st == (1, 1)
+                and self.groups == 1 and dl == pd and max(dl) > 1
+                and _dilated.should_decompose(x.shape[1], x.shape[2], dl)):
+            y = _dilated.conv3x3_dilated_taps(
+                x.astype(dtype), kernel.astype(dtype), dl)
+            if self.use_bias:
+                bias = self.param("bias", torch_bias_init(kshape),
+                                  (self.features,), self.param_dtype)
+                y = y + bias.astype(dtype)
+            return y
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),

@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="fused upsample+argmax kernel on the eval "
                              "metric path (measured slower in-context; "
                              "see docs/performance.md)")
+    parser.add_argument("--no_dilated_taps", dest="dilated_taps",
+                        default=True, action="store_false",
+                        help="disable the exact tap-matmul decomposition "
+                             "of heavily-dilated 3x3 convs (ops/dilated.py)")
     parser.add_argument("--ckpt_path", default="", type=str,
                         help="checkpoint to load (orbax dir or torch .pth)")
     parser.add_argument("--compiler_options", default="", type=str,

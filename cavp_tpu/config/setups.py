@@ -113,6 +113,10 @@ class Config:
     # drop padding frames (v1 videos fill 5 of 10 slots) from eval
     # batches and repack densely — exact same metric sums, fewer steps
     eval_dense_pack: bool = True
+    # exact tap-matmul decomposition of heavily-dilated 3x3 convs
+    # (layer4 surgery / ASPP rates at small maps; ops/dilated.py).
+    # --no_dilated_taps restores plain conv_general_dilated.
+    dilated_taps: bool = True
     # "key=val,key=val" forwarded to XLA per-compile (TPU flags must NOT
     # go in XLA_FLAGS — the client parser aborts on them; see
     # docs/performance.md "Recorded ablations"). Example:

@@ -74,6 +74,9 @@ def parse_compiler_options(config: Config) -> Optional[Dict[str, str]]:
 
 def build_model(config: Config, baseline: bool = False):
     """main_avss_resize.py:92-116 model construction."""
+    from cavp_tpu.ops import dilated as _dilated
+    # trace-time gate: set before the model is jitted/traced
+    _dilated.ENABLED = bool(getattr(config, "dilated_taps", True))
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     if baseline or config.use_baseline:
         return VisualModel(

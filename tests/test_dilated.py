@@ -83,6 +83,24 @@ def test_conv_module_uses_decomposition(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_flag_controls_global_gate():
+    """--no_dilated_taps -> config.dilated_taps=False -> build_model
+    flips ops.dilated.ENABLED (trace-time gate)."""
+    from cavp_tpu.config import get_config, load_args_and_config
+    from cavp_tpu.engine.runner import build_model
+
+    prev = dilated.ENABLED
+    try:
+        cfg = load_args_and_config(["--setup", "avss", "--no_dilated_taps"])
+        assert cfg.dilated_taps is False
+        build_model(cfg)
+        assert dilated.ENABLED is False
+        build_model(get_config("avss"))
+        assert dilated.ENABLED is True
+    finally:
+        dilated.ENABLED = prev
+
+
 def test_conv_module_gate_skips_padding_mismatch(monkeypatch):
     """padding != dilation (not a 'same'-style dilated conv) must take
     the plain conv path — the rewrite assumes padding == dilation."""

@@ -101,6 +101,40 @@ def test_flag_controls_global_gate():
         dilated.ENABLED = prev
 
 
+def test_eval_step_metrics_match_taps_on_off():
+    """Full eval step produces the same metric sums with the
+    decomposition on and off (48-square input: layer4 runs at 3x3 where
+    every dilated conv takes the fast path)."""
+    from cavp_tpu.config import get_config
+    from cavp_tpu.data.synthetic import synthetic_eval_batch
+    from cavp_tpu.engine.loops import eval_metrics_init, make_eval_step
+    from cavp_tpu.engine.runner import build_model
+
+    cfg = get_config("avss").replace(
+        image_width=48, image_height=48, num_classes=6,
+        compute_dtype="float32", visual_backbone=18)
+    model = build_model(cfg)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_eval_batch(cfg, 4).items()}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 48, 48, 3)),
+                           jnp.zeros((1, 96, 64, 1)), eval_mode=True)
+
+    prev = dilated.ENABLED
+    try:
+        outs = {}
+        for enabled in (True, False):
+            dilated.ENABLED = enabled
+            step = jax.jit(make_eval_step(model, cfg))
+            m = step(variables, eval_metrics_init(cfg.num_classes), batch)
+            outs[enabled] = jax.tree_util.tree_map(np.asarray, m)
+    finally:
+        dilated.ENABLED = prev
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True]),
+                    jax.tree_util.tree_leaves(outs[False])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 def test_conv_module_gate_skips_padding_mismatch(monkeypatch):
     """padding != dilation (not a 'same'-style dilated conv) must take
     the plain conv path — the rewrite assumes padding == dilation."""

@@ -12,10 +12,12 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cavp_tpu.models.layers import BatchNorm, Conv
+from cavp_tpu.models.layers import BatchNorm, Conv, ConvKernel
+from cavp_tpu.ops import dilated
 from cavp_tpu.ops.interp import interpolate_bilinear
 
 
@@ -33,17 +35,34 @@ class ASPP(nn.Module):
         bn = lambda name: BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
                                     name=name)
         h = self.hidden_channels
-        r0, r1, r2 = self.dilation_rates
-        branches = [
-            Conv(h, 1, use_bias=False, dtype=self.dtype, name="map_conv0")(x),
-            Conv(h, 3, padding=r0, dilation=r0, use_bias=False, dtype=self.dtype,
-                 name="map_conv1")(x),
-            Conv(h, 3, padding=r1, dilation=r1, use_bias=False, dtype=self.dtype,
-                 name="map_conv2")(x),
-            Conv(h, 3, padding=r2, dilation=r2, use_bias=False, dtype=self.dtype,
-                 name="map_conv3")(x),
-        ]
-        out = jnp.concatenate(branches, axis=-1)
+        rates = self.dilation_rates
+        ci = x.shape[-1]
+        dtype = self.dtype or x.dtype
+        # kernels held directly (same param paths a Conv child creates)
+        # so the four branch centers can merge into ONE matmul over a
+        # single read of x when the tap decomposition is active
+        w1x1 = ConvKernel((1, 1, ci, h), name="map_conv0")().astype(dtype)
+        w3x3s = [ConvKernel((3, 3, ci, h), name=f"map_conv{i + 1}")()
+                 .astype(dtype) for i in range(3)]
+        xd = x.astype(dtype)
+        if dilated.ENABLED and dilated.should_decompose(
+                x.shape[1], x.shape[2], (min(rates),) * 2):
+            out = dilated.aspp_branches(xd, w1x1, w3x3s, rates)
+        else:
+            def plain(w, r):
+                return jax.lax.conv_general_dilated(
+                    xd, w, window_strides=(1, 1), padding=((r, r), (r, r)),
+                    rhs_dilation=(max(r, 1),) * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            branches = [plain(w1x1, 0)]
+            for w, r in zip(w3x3s, rates):
+                if dilated.ENABLED and dilated.should_decompose(
+                        x.shape[1], x.shape[2], (r, r)):
+                    branches.append(dilated.conv3x3_dilated_taps(xd, w, (r, r)))
+                else:
+                    branches.append(plain(w, r))
+            out = jnp.concatenate(branches, axis=-1)
         out = bn("map_bn")(out, not train)
         out = nn.leaky_relu(out, 0.01)
         out = Conv(self.out_channels, 1, use_bias=False, dtype=self.dtype,

@@ -131,6 +131,21 @@ class Conv(nn.Module):
         return y
 
 
+class ConvKernel(nn.Module):
+    """Param-holder that owns a conv kernel under the same path/init a
+    ``Conv`` child would ("<name>/kernel", kaiming-uniform, HWIO) so a
+    parent can run a custom lowering (e.g. the merged ASPP centers,
+    ops/dilated.py) without changing the checkpoint structure."""
+
+    shape: Sequence[int]
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_uniform(), tuple(self.shape),
+                          self.param_dtype)
+
+
 class Dense(nn.Module):
     """Linear layer with torch default init."""
 

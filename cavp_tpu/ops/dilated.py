@@ -56,24 +56,17 @@ def should_decompose(h: int, w: int, dilation: Tuple[int, int]) -> bool:
     return useful_fraction(h, w, dh, dw) < FRACTION_THRESHOLD
 
 
-def conv3x3_dilated_taps(x: jax.Array, w: jax.Array,
-                         dilation: Tuple[int, int]) -> jax.Array:
-    """Exact rewrite of ``conv_general_dilated(x, w, strides=1,
-    padding=dilation, rhs_dilation=dilation)`` for a 3x3 kernel.
+def _matmul_f32(inp: jax.Array, tap: jax.Array, acc) -> jax.Array:
+    return jax.lax.dot_general(
+        inp, tap, (((3,), (0,)), ((), ())), preferred_element_type=acc)
 
-    x: [B, H, W, Cin] (NHWC), w: [3, 3, Cin, Cout]. Accumulates the
-    tap sum in f32 (matching the conv's f32 MXU accumulation) and
-    returns x.dtype.
-    """
+
+def _add_edge_taps(out, x: jax.Array, w: jax.Array,
+                   dilation: Tuple[int, int], acc) -> jax.Array:
+    """Adds the 8 off-center taps of a padding==dilation 3x3 conv to an
+    existing center-tap output (``out`` in the ``acc`` dtype)."""
     B, H, W, Ci = x.shape
     dh, dw = dilation
-    acc = jnp.promote_types(x.dtype, jnp.float32)
-
-    def matmul(inp, tap):
-        return jax.lax.dot_general(
-            inp, tap, (((3,), (0,)), ((), ())), preferred_element_type=acc)
-
-    out = matmul(x, w[1, 1])
     for ti in range(3):
         for tj in range(3):
             if ti == 1 and tj == 1:
@@ -85,7 +78,44 @@ def conv3x3_dilated_taps(x: jax.Array, w: jax.Array,
                 continue  # tap reads only padding
             xs = jax.lax.slice(
                 x, (0, p0 + oi, q0 + oj, 0), (B, p1 + oi, q1 + oj, Ci))
-            contrib = matmul(xs, w[ti, tj])
+            contrib = _matmul_f32(xs, w[ti, tj], acc)
             out = out + jnp.pad(
                 contrib, ((0, 0), (p0, H - p1), (q0, W - q1), (0, 0)))
+    return out
+
+
+def conv3x3_dilated_taps(x: jax.Array, w: jax.Array,
+                         dilation: Tuple[int, int]) -> jax.Array:
+    """Exact rewrite of ``conv_general_dilated(x, w, strides=1,
+    padding=dilation, rhs_dilation=dilation)`` for a 3x3 kernel.
+
+    x: [B, H, W, Cin] (NHWC), w: [3, 3, Cin, Cout]. Accumulates the
+    tap sum in f32 (matching the conv's f32 MXU accumulation) and
+    returns x.dtype.
+    """
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    out = _matmul_f32(x, w[1, 1], acc)
+    out = _add_edge_taps(out, x, w, dilation, acc)
     return out.astype(x.dtype)
+
+
+def aspp_branches(x: jax.Array, w1x1: jax.Array, w3x3s, rates) -> jax.Array:
+    """The four ASPP branch convs (1x1 + three dilated 3x3s over the
+    SAME input) with all four *center* taps merged into one matmul.
+
+    Separately each branch re-reads the [B,H,W,2048] map and runs a
+    256-wide matmul; merged, the center is a single [Ci, 4h] MXU pass
+    (one read of x, 1024-wide output) and only the small sliced edge
+    taps remain per dilated branch. Exact: same taps, f32 accumulation.
+    Returns the channel-concat [B,H,W,4h] in x.dtype (matching
+    ``jnp.concatenate([branch0..3], -1)``).
+    """
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    h = w1x1.shape[-1]
+    centers = jnp.concatenate([w1x1[0, 0]] + [w[1, 1] for w in w3x3s],
+                              axis=-1)
+    out = _matmul_f32(x, centers, acc)
+    parts = [out[..., i * h:(i + 1) * h] for i in range(4)]
+    for i, (w, r) in enumerate(zip(w3x3s, rates)):
+        parts[i + 1] = _add_edge_taps(parts[i + 1], x, w, (r, r), acc)
+    return jnp.concatenate(parts, axis=-1).astype(x.dtype)

@@ -135,6 +135,33 @@ def test_eval_step_metrics_match_taps_on_off():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("h", [14, 64])
+def test_aspp_merged_centers_match_plain(h):
+    """ASPP with the merged-center matmul (or per-branch fallback at
+    large maps) equals the plain-conv lowering; param paths unchanged."""
+    from cavp_tpu.models.deeplabv3p import ASPP
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, h, h, 32), jnp.float32)
+    m = ASPP(out_channels=24, hidden_channels=16)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    params = v["params"]
+    assert params["map_conv0"]["kernel"].shape == (1, 1, 32, 16)
+    for i in (1, 2, 3):
+        assert params[f"map_conv{i}"]["kernel"].shape == (3, 3, 32, 16)
+
+    prev = dilated.ENABLED
+    try:
+        dilated.ENABLED = True
+        fast = m.apply(v, x, train=False)
+        dilated.ENABLED = False
+        ref = m.apply(v, x, train=False)
+    finally:
+        dilated.ENABLED = prev
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
 def test_conv_module_gate_skips_padding_mismatch(monkeypatch):
     """padding != dilation (not a 'same'-style dilated conv) must take
     the plain conv path — the rewrite assumes padding == dilation."""

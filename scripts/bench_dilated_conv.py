@@ -139,6 +139,46 @@ def main():
                  taps_ms=round(g_taps, 4),
                  speedup_grad=round(g_conv / max(g_taps, 1e-9), 3))
 
+    # full ASPP branch block: merged centers (ops/dilated.aspp_branches)
+    # vs four separate decomposed branches vs four plain convs
+    from cavp_tpu.ops import dilated as dl
+
+    for B, H in ((80, 14), (32, 14), (8, 32)):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(B * 100 + H))
+        x = (jax.random.normal(k1, (B, H, H, 2048), jnp.float32) * 0.5).astype(dt)
+        ws = [(jax.random.normal(jax.random.fold_in(k2, i),
+                                 ((1, 1) if i == 0 else (3, 3)) + (2048, 256),
+                                 jnp.float32) * 0.02).astype(dt)
+              for i in range(4)]
+        rates = (6, 12, 18)
+
+        def merged(x, _w_unused, _d_unused):
+            return dl.aspp_branches(x, ws[0], ws[1:], rates)
+
+        def separate(x, _w, _d):
+            outs = [jax.lax.conv_general_dilated(
+                x, ws[0], (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))]
+            outs += [dl.conv3x3_dilated_taps(x, w, (r, r))
+                     for w, r in zip(ws[1:], rates)]
+            return jnp.concatenate(outs, -1)
+
+        def plain4(x, _w, _d):
+            outs = [jax.lax.conv_general_dilated(
+                x, ws[0], (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))]
+            outs += [jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((r, r), (r, r)), rhs_dilation=(r, r),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                for w, r in zip(ws[1:], rates)]
+            return jnp.concatenate(outs, -1)
+
+        diff = float(_relmax(plain4(x, None, None), merged(x, None, None))[()])
+        emit(case=f"aspp_block_b{B}_h{H}", rel_diff=round(diff, 6),
+             plain4_ms=round(time_fn(plain4, x, None, None), 4),
+             separate_taps_ms=round(time_fn(separate, x, None, None), 4),
+             merged_ms=round(time_fn(merged, x, None, None), 4))
+
 
 if __name__ == "__main__":
     main()

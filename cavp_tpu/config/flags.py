@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
                         default=True, action="store_false",
                         help="disable the exact tap-matmul decomposition "
                              "of heavily-dilated 3x3 convs (ops/dilated.py)")
+    parser.add_argument("--s2_phase_bwd", default=False,
+                        action="store_true",
+                        help="phase-decomposed input-gradient for "
+                             "stride-2 3x3 convs (ops/stride2.py; "
+                             "opt-in pending the chip A/B)")
     parser.add_argument("--ckpt_path", default="", type=str,
                         help="checkpoint to load (orbax dir or torch .pth)")
     parser.add_argument("--compiler_options", default="", type=str,

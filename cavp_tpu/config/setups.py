@@ -117,6 +117,9 @@ class Config:
     # (layer4 surgery / ASPP rates at small maps; ops/dilated.py).
     # --no_dilated_taps restores plain conv_general_dilated.
     dilated_taps: bool = True
+    # phase-decomposed input-gradient for stride-2 3x3 convs
+    # (ops/stride2.py). Opt-in until the chip A/B justifies a flip.
+    s2_phase_bwd: bool = False
     # "key=val,key=val" forwarded to XLA per-compile (TPU flags must NOT
     # go in XLA_FLAGS — the client parser aborts on them; see
     # docs/performance.md "Recorded ablations"). Example:

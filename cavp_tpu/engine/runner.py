@@ -75,8 +75,10 @@ def parse_compiler_options(config: Config) -> Optional[Dict[str, str]]:
 def build_model(config: Config, baseline: bool = False):
     """main_avss_resize.py:92-116 model construction."""
     from cavp_tpu.ops import dilated as _dilated
-    # trace-time gate: set before the model is jitted/traced
+    from cavp_tpu.ops import stride2 as _s2
+    # trace-time gates: set before the model is jitted/traced
     _dilated.ENABLED = bool(getattr(config, "dilated_taps", True))
+    _s2.ENABLED = bool(getattr(config, "s2_phase_bwd", False))
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     if baseline or config.use_baseline:
         return VisualModel(

@@ -115,6 +115,19 @@ class Conv(nn.Module):
                                   (self.features,), self.param_dtype)
                 y = y + bias.astype(dtype)
             return y
+        # Stride-2 3x3 convs (deep-stem conv1, layer2/3 first-block
+        # conv2) pay 4x zero-stuffing waste in their input-gradient if
+        # XLA lowers the transposed conv naively; opt-in exact phase
+        # decomposition (ops/stride2.py, --s2_phase_bwd).
+        from cavp_tpu.ops import stride2 as _s2
+        if _s2.applicable(ks, st, pd, dl, self.groups,
+                          x.shape[1], x.shape[2]):
+            y = _s2.conv3x3_s2(x.astype(dtype), kernel.astype(dtype))
+            if self.use_bias:
+                bias = self.param("bias", torch_bias_init(kshape),
+                                  (self.features,), self.param_dtype)
+                y = y + bias.astype(dtype)
+            return y
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),

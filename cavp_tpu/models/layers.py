@@ -120,9 +120,10 @@ class Conv(nn.Module):
         # XLA lowers the transposed conv naively; opt-in exact phase
         # decomposition (ops/stride2.py, --s2_phase_bwd).
         from cavp_tpu.ops import stride2 as _s2
-        if _s2.applicable(ks, st, pd, dl, self.groups,
-                          x.shape[1], x.shape[2]):
-            y = _s2.conv3x3_s2(x.astype(dtype), kernel.astype(dtype))
+        _s2_args = (ks, st, pd, dl, self.groups, x.shape[1], x.shape[2])
+        if _s2.applicable(*_s2_args) or _s2.applicable_1x1(*_s2_args):
+            fn = (_s2.conv3x3_s2 if ks == (3, 3) else _s2.conv1x1_s2)
+            y = fn(x.astype(dtype), kernel.astype(dtype))
             if self.use_bias:
                 bias = self.param("bias", torch_bias_init(kshape),
                                   (self.features,), self.param_dtype)

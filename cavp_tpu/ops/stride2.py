@@ -108,8 +108,48 @@ def _bwd(res, cot):
 conv3x3_s2.defvjp(_fwd, _bwd)
 
 
+def _plain_1x1_s2(x: jax.Array, w: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_vjp
+def conv1x1_s2(x: jax.Array, w: jax.Array) -> jax.Array:
+    """``conv_general_dilated(x, w, strides=2, padding=0)`` (NHWC/HWIO
+    1x1 — the ResNet downsample projections) with the input-gradient
+    computed as one dense matmul + interior zero-padding instead of a
+    transposed conv over the zero-stuffed cotangent (4x MAC waste)."""
+    return _plain_1x1_s2(x, w)
+
+
+def _fwd1(x, w):
+    return _plain_1x1_s2(x, w), (x, w)
+
+
+def _bwd1(res, cot):
+    x, w = res
+    g = jax.lax.dot_general(cot, w[0, 0], (((3,), (1,)), ((), ())))
+    # interior zero-stuffing of the *result* (cheap pad, no MACs):
+    # gx[2r, 2s] = cot[r, s] @ w^T, zero elsewhere
+    gx = jax.lax.pad(g, jnp.zeros((), g.dtype),
+                     ((0, 0, 0), (0, 1, 1), (0, 1, 1), (0, 0, 0)))
+    gw = jax.vjp(lambda ww: _plain_1x1_s2(x, ww), w)[1](cot)[0]
+    return gx.astype(x.dtype), gw
+
+
+conv1x1_s2.defvjp(_fwd1, _bwd1)
+
+
 def applicable(ks, st, pd, dl, groups: int, h: int, w: int) -> bool:
-    """Trace-time gate used by models/layers.Conv."""
+    """Trace-time gate used by models/layers.Conv (3x3 path)."""
     return (ENABLED and ks == (3, 3) and st == (2, 2) and pd == (1, 1)
+            and dl == (1, 1) and groups == 1
+            and h % 2 == 0 and w % 2 == 0)
+
+
+def applicable_1x1(ks, st, pd, dl, groups: int, h: int, w: int) -> bool:
+    """Trace-time gate used by models/layers.Conv (1x1 downsample path)."""
+    return (ENABLED and ks == (1, 1) and st == (2, 2) and pd == (0, 0)
             and dl == (1, 1) and groups == 1
             and h % 2 == 0 and w % 2 == 0)

@@ -65,6 +65,33 @@ def test_phase_grad_input_direct():
                                rtol=2e-5, atol=2e-5)
 
 
+def _plain_1x1(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("b,h,w,ci,co", [(2, 16, 16, 8, 12),
+                                         (2, 28, 20, 24, 8)])
+def test_1x1_forward_and_vjp(b, h, w, ci, co):
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(b, h, w, ci), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1, ci, co) * 0.1, jnp.float32)
+    cot = jnp.asarray(rng.randn(b, h // 2, w // 2, co), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(_plain_1x1(x, k)),
+                                  np.asarray(stride2.conv1x1_s2(x, k)))
+
+    def loss(fn, x, k):
+        return jnp.sum(fn(x, k) * cot)
+
+    ga = jax.grad(lambda x, k: loss(_plain_1x1, x, k), argnums=(0, 1))(x, k)
+    gb = jax.grad(lambda x, k: loss(stride2.conv1x1_s2, x, k),
+                  argnums=(0, 1))(x, k)
+    for a, b_ in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_gate_requires_even_and_exact_shape():
     assert not stride2.applicable((3, 3), (2, 2), (1, 1), (1, 1), 1, 15, 16) or not stride2.ENABLED
     prev = stride2.ENABLED
@@ -77,6 +104,10 @@ def test_gate_requires_even_and_exact_shape():
         assert not stride2.applicable((1, 1), (2, 2), (1, 1), (1, 1), 1, 56, 56)
         assert not stride2.applicable((3, 3), (2, 2), (1, 1), (2, 2), 1, 56, 56)
         assert not stride2.applicable((3, 3), (2, 2), (1, 1), (1, 1), 2, 56, 56)
+        assert stride2.applicable_1x1((1, 1), (2, 2), (0, 0), (1, 1), 1, 56, 56)
+        assert not stride2.applicable_1x1((1, 1), (1, 1), (0, 0), (1, 1), 1, 56, 56)
+        assert not stride2.applicable_1x1((1, 1), (2, 2), (1, 1), (1, 1), 1, 56, 56)
+        assert not stride2.applicable_1x1((1, 1), (2, 2), (0, 0), (1, 1), 1, 55, 56)
     finally:
         stride2.ENABLED = prev
 

@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
                         default=True, action="store_false",
                         help="disable the exact tap-matmul decomposition "
                              "of heavily-dilated 3x3 convs (ops/dilated.py)")
+    parser.add_argument("--no_audio_dedup", dest="audio_dedup",
+                        default=True, action="store_false",
+                        help="disable the exact train-path audio-tower "
+                             "dedup (tower on B+K clips instead of 2B; "
+                             "avss/VGG only)")
     parser.add_argument("--s2_phase_bwd", default=False,
                         action="store_true",
                         help="phase-decomposed input-gradient for "

@@ -120,6 +120,13 @@ class Config:
     # phase-decomposed input-gradient for stride-2 3x3 convs
     # (ops/stride2.py). Opt-in until the chip A/B justifies a flip.
     s2_phase_bwd: bool = False
+    # exact audio-tower dedup on the train path (avss + VGG tower only):
+    # the shuffled half of the 2B clip batch is a permutation of the
+    # matched half except for the <= floor(B*ow_rate) bank-overwritten
+    # rows, and the VGG tower is per-clip (no BatchNorm) — so the tower
+    # runs on B + floor(B*ow_rate) clips and the shuffled half is a
+    # feature gather. --no_audio_dedup restores the 2B tower batch.
+    audio_dedup: bool = True
     # "key=val,key=val" forwarded to XLA per-compile (TPU flags must NOT
     # go in XLA_FLAGS — the client parser aborts on them; see
     # docs/performance.md "Recorded ablations"). Example:

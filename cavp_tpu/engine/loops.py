@@ -107,6 +107,9 @@ def make_train_step(
         shuffle_wave = waveform[shuffle_idx]
 
         sound_bank = state.sound_bank
+        sound_bank_pre = sound_bank  # overwrite reads the pre-update bank
+        change_mask = jnp.zeros((B,), bool)
+        target_class = jnp.zeros((B,), jnp.int32)
         if use_overwrite:
             ow = overwrite_miss_match(
                 k_ow, if_match, shuffle_img_label, img_label,
@@ -114,9 +117,11 @@ def make_train_step(
                 enabled=ow_flag)
             if_match, shuffle_img_label = ow.if_match, ow.shuffle_img_label
             if use_wave_bank:
+                change_mask = ow.change_mask & ow_flag
+                target_class = ow.target_class
                 banked = overwrite_from_bank(
                     sound_bank, shuffle_wave.reshape(B, -1),
-                    ow.change_mask & ow_flag, ow.target_class)
+                    change_mask, ow.target_class)
                 shuffle_wave = banked.reshape(shuffle_wave.shape)
         if use_wave_bank:
             sound_bank = update_bank(
@@ -132,6 +137,18 @@ def make_train_step(
         # and run the tower on 2B.
         gather_audio = variant == "vpo_stereo"
         audio_gather_idx = shuffle_idx if gather_audio else None
+        # Exact audio-tower dedup (avss + VGG tower, which is per-clip —
+        # no BatchNorm): the shuffled half of the reference's 2B clip
+        # batch is a permutation of the matched half except for the
+        # bank-overwritten rows, of which there are at most
+        # floor(B*ow_rate) (overwrite_miss_match selects
+        # floor(n_false*ow_rate) with n_false <= B). So the tower runs
+        # on B + floor(B*ow_rate) clips and the shuffled half becomes a
+        # feature gather — row-for-row the same values. The injected-mel
+        # parity path keeps the 2B convention; a step-level equivalence
+        # test (tests/test_audio_dedup.py) pins dedup-on == dedup-off.
+        dedup_audio = (variant == "avss" and config.audio_backbone == "vgg"
+                       and getattr(config, "audio_dedup", True))
         if "mel" in batch:
             # Parity-harness injection: a precomputed mel ([2B,...] or
             # [B,...] for the gather convention). The mel frontend is
@@ -143,6 +160,24 @@ def make_train_step(
         else:
             if gather_audio:
                 input_wave = waveform
+            elif dedup_audio:
+                K = (min(B, int(B * config.ow_rate))
+                     if (use_overwrite and use_wave_bank) else 0)
+                if K > 0:
+                    # changed rows first, in batch order (stable sort);
+                    # slot j holds the j-th overwritten row's bank wave.
+                    slots = jnp.argsort(~change_mask, stable=True)[:K]
+                    bw = sound_bank_pre[target_class[slots], 0]
+                    input_wave = jnp.concatenate(
+                        [waveform, bw.reshape((K,) + waveform.shape[1:])],
+                        axis=0)
+                    rank = jnp.cumsum(change_mask.astype(jnp.int32)) - 1
+                    audio_gather_idx = jnp.where(
+                        change_mask, B + jnp.clip(rank, 0, K - 1),
+                        shuffle_idx)
+                else:
+                    input_wave = waveform
+                    audio_gather_idx = shuffle_idx
             else:
                 input_wave = jnp.concatenate([waveform, shuffle_wave],
                                              axis=0)

@@ -212,13 +212,17 @@ class CAVP(nn.Module):
           bank overwrite is dead code: line 171 unconditionally
           reassigns the plain gather). This also keeps the audio
           tower's train-mode BN batch size at B, as the reference
-          computes it.
+          computes it. The avss audio-dedup path (engine/loops.py)
+          reuses this hook with ``audio`` of shape [B+K] (matched B ‖
+          K bank-overwrite slots) and indices into that batch — the
+          matched half is always rows [:B].
         """
         B = image.shape[0]
         fea_v = self.forward_visual_feature(image, train=True)
         fea_a = self.audio_net(audio, train=True)
         if audio_gather_idx is not None:
-            fea_a = jnp.concatenate([fea_a, fea_a[audio_gather_idx]], axis=0)
+            fea_a = jnp.concatenate([fea_a[:B], fea_a[audio_gather_idx]],
+                                    axis=0)
         fused, pack = self.forward_fusion(fea_v, fea_a, dup=2)
         head_in = fused[:B] if self.cls_matched_only else fused
         logits = self.forward_cls(head_in, image.shape[1:3], train=True)

@@ -51,7 +51,8 @@ from cavp_tpu.utils import Tensorboard, logger, suppress_non_primary
 # compile cache here — unless the caller (tests, bench) already chose one.
 try:
     if jax.config.jax_compilation_cache_dir is None:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+        from cavp_tpu.utils.hostfp import cache_dir as _hostfp_dir
+        jax.config.update("jax_compilation_cache_dir", _hostfp_dir("/tmp/jax_tpu_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 except Exception:
     pass

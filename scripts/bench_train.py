@@ -22,7 +22,9 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+from cavp_tpu.utils.hostfp import cache_dir as _hostfp_dir
+
+jax.config.update("jax_compilation_cache_dir", _hostfp_dir("/tmp/jax_tpu_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 V5E_BF16_PEAK = 197e12  # flops/s, one v5e chip

@@ -34,7 +34,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+from cavp_tpu.utils.hostfp import cache_dir as _hostfp_dir
+jax.config.update("jax_compilation_cache_dir", _hostfp_dir("/tmp/jax_test_cache"))
 import jax.numpy as jnp
 
 from cavp_tpu.config.setups import get_config

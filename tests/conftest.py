@@ -7,6 +7,9 @@ Must run before the first `import jax` anywhere in the test session.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env pins "axon"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -23,5 +26,6 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: CPU compiles of the conv towers are slow;
 # cache across test sessions.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+from cavp_tpu.utils.hostfp import cache_dir as _hostfp_dir
+jax.config.update("jax_compilation_cache_dir", _hostfp_dir("/tmp/jax_test_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -176,3 +176,30 @@ class TestCompilerOptions:
         f = jax.jit(lambda x: x * 2,
                     compiler_options=parse_compiler_options(cfg))
         assert float(f(jnp.float32(3.0))) == 6.0
+
+
+class TestHostFingerprintCache:
+    """The persistent-compile-cache dirs are keyed by host CPU identity
+    so a foreign VM's AOT artifacts (different ISA features) can never
+    load here and SIGILL the process (CLAUDE.md gotcha, VERDICT r3 #4)."""
+
+    def test_fingerprint_stable_and_short(self):
+        from cavp_tpu.utils.hostfp import host_fingerprint
+
+        a, b = host_fingerprint(), host_fingerprint()
+        assert a == b
+        assert len(a) == 8
+        int(a, 16)  # hex digest
+
+    def test_cache_dir_suffixes_base(self):
+        from cavp_tpu.utils.hostfp import cache_dir, host_fingerprint
+
+        assert cache_dir("/tmp/x") == f"/tmp/x-{host_fingerprint()}"
+
+    def test_conftest_cache_is_host_keyed(self):
+        import jax
+
+        from cavp_tpu.utils.hostfp import host_fingerprint
+
+        d = jax.config.jax_compilation_cache_dir
+        assert d is not None and d.endswith(host_fingerprint())

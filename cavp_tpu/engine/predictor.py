@@ -10,6 +10,7 @@ recompile.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -122,18 +123,28 @@ class Predictor:
             return pred, None
 
         self._forward = jax.jit(_forward)
+        self._warmup_lock = threading.Lock()
+        self._warmed = False
 
     def warmup(self):
         """Compile every batch bucket ahead of serving — through the full
         ``predict`` path (not just the jitted forward): on remote-TPU
         transports the first end-to-end round can cost tens of seconds
-        beyond the compile, and serving should never see a cold path."""
-        for b in self.batch_sizes:
-            img = np.zeros((b, self.config.image_height,
-                            self.config.image_width, 3), np.uint8)
-            wav = np.zeros((b, self.config.in_plane,
-                            self.config.audio_samples), np.float32)
-            self.predict(img, wav)
+        beyond the compile, and serving should never see a cold path.
+
+        Idempotent and thread-safe: concurrent callers (e.g. a health
+        checker racing the serve loop) serialize on a lock and every
+        bucket compiles exactly once."""
+        with self._warmup_lock:
+            if self._warmed:
+                return self
+            for b in self.batch_sizes:
+                img = np.zeros((b, self.config.image_height,
+                                self.config.image_width, 3), np.uint8)
+                wav = np.zeros((b, self.config.in_plane,
+                                self.config.audio_samples), np.float32)
+                self.predict(img, wav)
+            self._warmed = True
         return self
 
     def _bucket(self, n: int) -> int:

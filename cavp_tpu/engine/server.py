@@ -56,7 +56,8 @@ class DynamicBatcher:
     """
 
     def __init__(self, predict_fn, max_batch: int = 8,
-                 max_wait_ms: float = 5.0, expected_shapes=None):
+                 max_wait_ms: float = 5.0, expected_shapes=None,
+                 max_request_frames: Optional[int] = None):
         self._predict = predict_fn
         # ((H, W, 3), (Cin, L)) — when set, submit() rejects off-shape
         # requests up front: coalescing mixed shapes would crash the
@@ -64,6 +65,13 @@ class DynamicBatcher:
         # fresh device compile inside the single batching thread
         self.expected_shapes = expected_shapes
         self.max_batch = int(max_batch)
+        # one request may legitimately exceed the largest compiled
+        # bucket (predict chunks it), but an unbounded N monopolizes
+        # the single worker thread for the whole chunk loop while every
+        # other client waits — cap it and fail fast instead
+        self.max_request_frames = (int(max_request_frames)
+                                   if max_request_frames is not None
+                                   else 4 * self.max_batch)
         self.max_wait = float(max_wait_ms) / 1000.0
         self._q: "queue.Queue[Optional[_WorkItem]]" = queue.Queue()
         self._carry: Optional[_WorkItem] = None  # overflow item -> next batch
@@ -80,6 +88,10 @@ class DynamicBatcher:
             raise ValueError("images/waveforms batch mismatch")
         if images.shape[0] == 0:
             raise ValueError("empty batch")
+        if images.shape[0] > self.max_request_frames:
+            raise ValueError(
+                f"request batch {images.shape[0]} exceeds the per-request "
+                f"limit {self.max_request_frames}; split the request")
         if self.expected_shapes is not None:
             img_shape, wav_shape = self.expected_shapes
             if tuple(images.shape[1:]) != tuple(img_shape):
@@ -174,16 +186,25 @@ class _Handler(BaseHTTPRequestHandler):
     # generous: the first round over a remote-TPU transport can take
     # tens of seconds even after warmup
     timeout_s: float = 300.0
+    # hard cap on the request body read into host RAM; sized by
+    # make_server from the served shapes (a malicious Content-Length
+    # must not be able to balloon the process)
+    max_body_bytes: int = 1 << 28
 
     def log_message(self, fmt, *args):  # quiet; stats endpoint instead
         pass
 
     def _reply(self, code: int, body: bytes, ctype: str):
-        self.send_response(code)
-        self.send_header("Content-Type", ctype)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+        # a client that disconnects mid-reply must not kill the handler
+        # thread with an unhandled BrokenPipeError traceback
+        try:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        except (BrokenPipeError, ConnectionResetError):
+            self.close_connection = True
 
     def do_GET(self):
         if self.path == "/healthz":
@@ -204,7 +225,21 @@ class _Handler(BaseHTTPRequestHandler):
         # clients/load balancers don't blame (and drop) a valid request
         try:
             length = int(self.headers.get("Content-Length", "0"))
-            payload = np.load(io.BytesIO(self.rfile.read(length)))
+        except ValueError:
+            self._reply(400, b'{"error": "bad Content-Length"}',
+                        "application/json")
+            return
+        if length > self.max_body_bytes:
+            self._reply(413, json.dumps(
+                {"error": f"body {length}B exceeds "
+                          f"{self.max_body_bytes}B limit"}).encode(),
+                "application/json")
+            return
+        try:
+            # allow_pickle stays False (also numpy's default): a npz
+            # body must never be able to execute pickle payloads
+            payload = np.load(io.BytesIO(self.rfile.read(length)),
+                              allow_pickle=False)
             images = np.asarray(payload["images"], np.uint8)
             waveforms = np.asarray(payload["waveforms"], np.float32)
             fut = self.batcher.submit(images, waveforms)
@@ -227,7 +262,8 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
-                max_batch: Optional[int] = None, max_wait_ms: float = 5.0
+                max_batch: Optional[int] = None, max_wait_ms: float = 5.0,
+                max_request_frames: Optional[int] = None
                 ) -> Tuple[ThreadingHTTPServer, DynamicBatcher]:
     """Build (but do not start) the HTTP server around a warmed Predictor.
 
@@ -241,8 +277,18 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
         shapes = predictor.expected_shapes()
     batcher = DynamicBatcher(predictor.predict, max_batch=max_batch,
                              max_wait_ms=max_wait_ms,
-                             expected_shapes=shapes)
-    handler = type("BoundHandler", (_Handler,), {"batcher": batcher})
+                             expected_shapes=shapes,
+                             max_request_frames=max_request_frames)
+    # body cap: the largest legal request (uint8 images + f32 waves at
+    # the served shapes, npz-uncompressed) plus generous container
+    # overhead; unknown shapes fall back to the class default
+    attrs = {"batcher": batcher}
+    if shapes is not None:
+        (ih, iw, ic), (wc, wl) = shapes
+        frame = ih * iw * ic + wc * wl * 4
+        attrs["max_body_bytes"] = 2 * batcher.max_request_frames * frame \
+            + (1 << 20)
+    handler = type("BoundHandler", (_Handler,), attrs)
     server = ThreadingHTTPServer((host, port), handler)
     return server, batcher
 

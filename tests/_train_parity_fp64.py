@@ -166,7 +166,8 @@ def main():
         "seg": "segment.aspp.red_conv.weight",
         "bkb": "backbone.backbone.layer1.0.conv1.weight",
         "fusion": "cross_att.blocks.0.attn.q.weight",
-        "audio": ("audio_backbone.backbone.conv1.weight" if stereo else
+        "audio": ("audio_backbone.backbone.conv1.weight"
+                  if cfg.audio_backbone == "18" else
                   "audio_backbone.backbone.features.0.weight"),
     }
     for g, k in probes.items():

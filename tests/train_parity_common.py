@@ -86,4 +86,11 @@ def make_test_config(get_config, variant="avss"):
         # the stereo configuration: 3 s audio -> ResNet-18 audio tower,
         # 2-channel waveforms (config_vpo_ss.py:51, in_plane=2)
         cfg = cfg.replace(audio_len=3.0, audio_backbone="18", in_plane=2)
+    elif variant == "vpo_mono":
+        # vpo_mono (trainer_cavp_vpo_mono.py:30-308): mono 3-s clips,
+        # ResNet-18 audio tower, audio_func=False (2B waveform concat
+        # like avss); bank/overwrite live but epoch>=1-gated, so inert
+        # at this epoch-0 drive — the leg pins the tower + mel-frame
+        # (n_len=300, trainer_cavp_vpo_mono.py:63) composition.
+        cfg = cfg.replace(audio_len=3.0, audio_backbone="18", in_plane=1)
     return cfg

@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--ow_rate", default=0.5, type=float)
     # model hyper
     parser.add_argument("--cl_temp", default=0.1, type=float)
+    parser.add_argument("--corocl_w", default=1.0, type=float,
+                        help="CoroCL weight (reference: unweighted, =1); "
+                             "0 disables the contrastive objective")
     parser.add_argument("--max_view", default=512, type=int)
     # avsbench
     parser.add_argument("--avsbench_split", default="all", type=str)

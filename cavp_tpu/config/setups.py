@@ -80,6 +80,11 @@ class Config:
     ciou_thre: List[float] = field(default_factory=lambda: [0.3])
     pred_thre: float = 0.4
     loss_w: float = 0.1
+    # CoroCL weight. The reference adds l_ctr_av unweighted
+    # (trainer_cavp_avss_image.py:222, loss = l_ce + l_ctr_av), so the
+    # default is 1.0; --corocl_w 0 is the ablation switch for the
+    # objective-effect A/B (scripts/generalize_smoke.py).
+    corocl_w: float = 1.0
     cl_temp: float = 0.1
     max_view: int = 512
     ow_rate: float = 0.5

@@ -29,8 +29,19 @@ def write_wav(path: str, data: np.ndarray, sr: int = 16000):
 
 def make_synthetic_avss(root: str, num_videos: int = 4, image_size: int = 64,
                         num_classes: int = 8, seed: int = 0,
-                        splits=("train", "test")) -> str:
-    """Create a mini avsbench_semantic tree + metadata.csv under root."""
+                        splits=("train", "test"), ambiguous: bool = False,
+                        vary_pos: bool = False) -> str:
+    """Create a mini avsbench_semantic tree + metadata.csv under root.
+
+    ``ambiguous``: classes 2k-1 and 2k share one visual tint while the
+    audio tone stays per-class — the *class* of the sounding object is
+    then only decidable from audio, which is the property the CoroCL
+    objective-effect A/B (scripts/generalize_smoke.py) needs: a fixture
+    where vision alone saturates CE would show nothing.
+    ``vary_pos``: place the object square at a per-video random offset
+    instead of the center, so passing on held-out videos requires
+    localizing the textured square, not memorizing its position.
+    """
     rng = np.random.RandomState(seed)
     base = os.path.join(root, "avsbench_semantic")
     rows = ["split,label,uid,a_obj,s_min,s_sec"]
@@ -46,24 +57,32 @@ def make_synthetic_avss(root: str, num_videos: int = 4, image_size: int = 64,
             n_masks = 10 if subset == "v2" else 5
             cls = 1 + v % (num_classes - 1)
             s = image_size // 4
+            if vary_pos:
+                y0 = int(rng.randint(0, image_size - 2 * s + 1))
+                x0 = int(rng.randint(0, image_size - 2 * s + 1))
+            else:
+                y0 = x0 = s
+            # ambiguous: the tint keys the class *pair* (1,2)->1,
+            # (3,4)->2, ... so only the audio tone resolves the class
+            tint_key = (cls + 1) // 2 if ambiguous else cls
             for i in range(n_frames):
                 img = rng.randint(0, 255, (image_size, image_size, 3),
                                   dtype=np.uint8)
-                # paint the sounding object: a class-tinted textured
-                # square where the mask is — without it the mask is only
+                # paint the sounding object: a tinted textured square
+                # where the mask is — without it the mask is only
                 # predictable from absolute position, which conv nets
                 # can't express, and training tests can't converge
-                tint = np.array([(cls * 53) % 200 + 55,
-                                 (cls * 101) % 200 + 55,
-                                 (cls * 179) % 200 + 55], np.uint8)
-                region = img[s:3 * s, s:3 * s].astype(np.int32)
-                img[s:3 * s, s:3 * s] = (region // 4 + tint).clip(
-                    0, 255).astype(np.uint8)
+                tint = np.array([(tint_key * 53) % 200 + 55,
+                                 (tint_key * 101) % 200 + 55,
+                                 (tint_key * 179) % 200 + 55], np.uint8)
+                region = img[y0:y0 + 2 * s, x0:x0 + 2 * s].astype(np.int32)
+                img[y0:y0 + 2 * s, x0:x0 + 2 * s] = (
+                    region // 4 + tint).clip(0, 255).astype(np.uint8)
                 Image.fromarray(img).save(
                     os.path.join(vdir, "frames", f"{i}.jpg"))
             for i in range(n_masks):
                 mask = np.zeros((image_size, image_size), np.uint8)
-                mask[s:3 * s, s:3 * s] = cls
+                mask[y0:y0 + 2 * s, x0:x0 + 2 * s] = cls
                 Image.fromarray(mask, mode="L").save(
                     os.path.join(vdir, "labels_semantic", f"{i}.png"))
             t = np.linspace(0, 10, 160000, endpoint=False)

@@ -206,7 +206,7 @@ def make_train_step(
                 temperature=config.cl_temp,
                 max_views=config.max_view,
                 class_slots=config.class_slots)
-            loss = l_ce + l_ctr
+            loss = l_ce + config.corocl_w * l_ctr
             # optional auxiliary objectives (Losser's dormant losses,
             # loss/losser.py:54-57), weighted by loss_w
             if "av_contrast" in extra:

@@ -70,3 +70,56 @@ class TestEndToEnd:
             miou, fscore = jf_step(variables, flat)
             assert np.isfinite(float(miou)) and np.isfinite(float(fscore))
             break
+
+
+class TestAudioDecisiveFixture:
+    """The generalize-smoke fixture options (scripts/generalize_smoke.py):
+    ambiguous tints make the class decidable only from audio; vary_pos
+    breaks position memorization. Both opt-in (default fixtures
+    unchanged)."""
+
+    def test_ambiguous_tints_pair_classes(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        base = make_synthetic_avss(str(tmp_path), num_videos=6,
+                                   image_size=48, num_classes=7,
+                                   ambiguous=True, splits=("train",))
+        # videos v=0..5 -> classes 1..6; tints key the pair (1,2),(3,4),(5,6)
+        def mean_tint(v):
+            vdir = [d for s in ("v1s", "v1m", "v2")
+                    for d in [os.path.join(base, s, f"train_vid{v}")]
+                    if os.path.isdir(d)][0]
+            img = np.asarray(Image.open(
+                os.path.join(vdir, "frames", "0.jpg")))
+            mask = np.asarray(Image.open(
+                os.path.join(vdir, "labels_semantic", "0.png")))
+            return img[mask > 0].mean(0), mask[mask > 0].max()
+
+        tints = {}
+        for v in range(6):
+            t, cls = mean_tint(v)
+            tints[int(cls)] = t
+        # same pair -> close tints; different pair -> far
+        assert np.abs(tints[1] - tints[2]).max() < 12
+        assert np.abs(tints[3] - tints[4]).max() < 12
+        assert np.abs(tints[1] - tints[3]).max() > 25
+
+    def test_vary_pos_moves_the_square(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        base = make_synthetic_avss(str(tmp_path), num_videos=8,
+                                   image_size=48, num_classes=7,
+                                   vary_pos=True, splits=("train",))
+        coords = set()
+        for v in range(8):
+            vdir = [d for s in ("v1s", "v1m", "v2")
+                    for d in [os.path.join(base, s, f"train_vid{v}")]
+                    if os.path.isdir(d)][0]
+            mask = np.asarray(Image.open(
+                os.path.join(vdir, "labels_semantic", "0.png")))
+            ys, xs = np.nonzero(mask)
+            assert ys.size > 0
+            coords.add((int(ys.min()), int(xs.min())))
+        assert len(coords) >= 4, f"positions did not vary: {coords}"

@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="disable the exact train-path audio-tower "
                              "dedup (tower on B+K clips instead of 2B; "
                              "avss/VGG only)")
+    parser.add_argument("--no_fusion_mlp_dedup", dest="fusion_mlp_dedup",
+                        default=True, action="store_false",
+                        help="disable the exact decomposed-MLP dedup in "
+                             "the fusion block's train path (fc1 on B "
+                             "instead of 2B; models/attn.py)")
     parser.add_argument("--s2_phase_bwd", default=False,
                         action="store_true",
                         help="phase-decomposed input-gradient for "

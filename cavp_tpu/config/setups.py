@@ -125,6 +125,12 @@ class Config:
     # phase-decomposed input-gradient for stride-2 3x3 convs
     # (ops/stride2.py). Opt-in until the chip A/B justifies a flip.
     s2_phase_bwd: bool = False
+    # exact decomposed-MLP dedup in the fusion block's train path: the
+    # fc1 contraction of the MLP runs on B instead of the duplicated 2B
+    # (LayerNorm is per-token affine, so its row scaling commutes with
+    # the matmul; models/attn.py Block._mlp_dedup_update). Pure
+    # reassociation, f64-parity-pinned. --no_fusion_mlp_dedup disables.
+    fusion_mlp_dedup: bool = True
     # exact audio-tower dedup on the train path (avss + VGG tower only):
     # the shuffled half of the 2B clip batch is a permutation of the
     # matched half except for the <= floor(B*ow_rate) bank-overwritten

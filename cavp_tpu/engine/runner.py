@@ -94,6 +94,7 @@ def build_model(config: Config, baseline: bool = False):
         last_three_dilation_stride=tuple(config.last_three_dilation_stride),
         audio_backbone=config.audio_backbone,
         in_plane=config.in_plane,
+        fusion_mlp_dedup=bool(getattr(config, "fusion_mlp_dedup", True)),
         dtype=dtype)
 
 

@@ -26,8 +26,9 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cavp_tpu.models.layers import (Dense, LayerNorm, Mlp, kaiming_uniform,
-                                    torch_bias_init)
+import jax
+from cavp_tpu.models.layers import (Dense, LayerNorm, Mlp, acc_dtype,
+                                    kaiming_uniform, torch_bias_init)
 
 
 class _Lin(nn.Module):
@@ -60,6 +61,55 @@ class _Lin(nn.Module):
         if self.use_bias:
             y = y + self.bias.astype(dtype)
         return y
+
+
+class _LNRaw(nn.Module):
+    """LayerNorm with ``setup``-declared params so the parent can read
+    scale/bias (the decomposed-MLP path folds them into the fc1 weight).
+    Param tree (``scale``/``bias``), init, eps and accumulation math are
+    identical to :class:`~cavp_tpu.models.layers.LayerNorm`."""
+
+    features: int
+    epsilon: float = 1e-5
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.features,), self.param_dtype)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,), self.param_dtype)
+
+    def stats(self, x):
+        """Per-token (mean, rsqrt(var+eps)) in the accumulation dtype."""
+        xf = x.astype(acc_dtype(x.dtype))
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        return mu, jax.lax.rsqrt(var + self.epsilon)
+
+    def __call__(self, x):
+        mu, r = self.stats(x)
+        xf = x.astype(acc_dtype(x.dtype))
+        return ((xf - mu) * r * self.scale + self.bias).astype(x.dtype)
+
+
+class _MlpRaw(nn.Module):
+    """timm-style Mlp with ``setup``-declared _Lin layers so the parent
+    can read the raw fc1/fc2 kernels. Param tree (``fc1/kernel``...),
+    init and forward identical to :class:`~cavp_tpu.models.layers.Mlp`."""
+
+    in_features: int
+    hidden_features: int
+    out_features: int
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        self.fc1 = _Lin(self.in_features, self.hidden_features,
+                        dtype=self.dtype, name="fc1")
+        self.fc2 = _Lin(self.hidden_features, self.out_features,
+                        dtype=self.dtype, name="fc2")
+
+    def __call__(self, x):
+        return self.fc2(jax.nn.gelu(self.fc1(x), approximate=False))
 
 
 class PatchEmbed(nn.Module):
@@ -100,12 +150,20 @@ class Attention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x_q, x_k, x_v, dup: int = 1):
+    def __call__(self, x_q, x_k, x_v, dup: int = 1,
+                 return_factors: bool = False):
         """``dup > 1``: x_q carries the true batch B while x_k/x_v carry
         dup*B — the query projection runs once on B and is tiled after
         (exact: row-wise ops give identical values per row). This is the
         train-path dedup for the reference's ``cat((fea_v, fea_v))``
-        duplicated visual batch (cavp_model.py:181)."""
+        duplicated visual batch (cavp_model.py:181).
+
+        ``return_factors``: additionally return the rank-1 factorization
+        ``(gate [Bk,N,h], m [Bk,h,C], proj bias [C])`` of the output
+        (``out = gate @ m + bp``) so the caller can push the dedup
+        through downstream per-token-affine ops (the decomposed-MLP
+        path). Only available on the collapse path; the fallback path
+        returns ``None`` factors."""
         B, N, C = x_q.shape
         Bk, Nk = x_k.shape[:2]
         assert Bk == B * dup, (x_q.shape, x_k.shape, dup)
@@ -142,6 +200,8 @@ class Attention(nn.Module):
             gate = nn.sigmoid(scores * scale)  # sigmoid, not softmax
             out = jnp.einsum("bnh,bhc->bnc", gate, m) + bp.astype(dtype)
             attn = gate.transpose(0, 2, 1)[..., None]  # [Bk, h, N, 1]
+            if return_factors:
+                return out, attn, (gate, m, bp)
             return out, attn
 
         q = q_m(x_q)
@@ -157,6 +217,8 @@ class Attention(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = p_m(out)
+        if return_factors:
+            return out, attn, None
         return out, attn
 
 
@@ -168,23 +230,63 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = False
     collapse_rank1: bool = True
+    mlp_dedup: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
         self.norm1 = LayerNorm()
-        self.norm2 = LayerNorm()
+        self.norm2 = _LNRaw(features=self.dim)
         self.attn = Attention(dim=self.dim, num_heads=self.num_heads,
                               qkv_bias=self.qkv_bias,
                               collapse_rank1=self.collapse_rank1,
                               dtype=self.dtype)
-        self.mlp = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
-                       out_features=self.dim, dtype=self.dtype)
+        self.mlp = _MlpRaw(in_features=self.dim,
+                           hidden_features=int(self.dim * self.mlp_ratio),
+                           out_features=self.dim, dtype=self.dtype)
 
     def sdp(self, q, k, v):
         out, attn = self.attn(q, k, v)
         q = q + out
         q = q + self.mlp(self.norm2(q))
         return q, attn
+
+    def _mlp_dedup_update(self, base, out, gate, m, bp, dup):
+        """x + mlp(norm2(x)) with x = tile(base) + out, where the big
+        fc1 matmul runs ONCE on the true batch B.
+
+        norm2 is per-token affine (LN(x)_t = r_t*(x_t - mu_t)*g + b),
+        and row scaling commutes with the matmul, so with the rank-h
+        attention output (out = gate @ m + bp):
+
+            fc1(LN(x))_t = r_t*(x @ W1g)_t - (r_t*mu_t)*(g@W1) + (b@W1+b1)
+            x @ W1g      = tile(base @ W1g) + gate @ (m @ W1g) + bp @ W1g
+
+        with W1g = diag(g) @ W1. Exact in real arithmetic (pure
+        reassociation — the f64 train-parity harness pins it); cuts the
+        [.,N,C]x[C,4C] fc1 contraction (and its weight/input gradient
+        contractions, which AD pre-sums over the halves) from dup*B to
+        B. fc2 is irreducible (GELU output is full-rank per half)."""
+        x = jnp.tile(base, (dup, 1, 1)) + out
+        dtype = x.dtype
+        accd = acc_dtype(dtype)
+        mu, r = self.norm2.stats(x)
+
+        g2 = self.norm2.scale
+        b2 = self.norm2.bias
+        W1, b1 = self.mlp.fc1.params()
+        W1g = (g2[:, None] * W1).astype(dtype)
+        big = jnp.matmul(base, W1g)                      # B-sized matmul
+        mW = jnp.einsum("bhc,cf->bhf", m.astype(dtype), W1g)
+        corr = jnp.einsum("bnh,bhf->bnf", gate.astype(dtype), mW)
+        gacc = g2.astype(accd)
+        c0 = bp.astype(accd) @ (gacc[:, None] * W1.astype(accd))  # [4C]
+        c1 = gacc @ W1.astype(accd)                               # [4C]
+        c2 = b2.astype(accd) @ W1.astype(accd) + b1.astype(accd)  # [4C]
+
+        z = jnp.tile(big, (dup, 1, 1)).astype(accd) + corr.astype(accd) + c0
+        fc1 = (r * z - (r * mu) * c1 + c2).astype(dtype)
+        h1 = jax.nn.gelu(fc1, approximate=False)
+        return x + self.mlp.fc2(h1)
 
     def __call__(self, f_v, f_a, dup: int = 1):
         f_v = self.norm1(f_v)
@@ -194,9 +296,13 @@ class Block(nn.Module):
             # true batch; tile the normed residual base to dup*B. The
             # attended output (audio-dependent) differs per half from
             # here on.
-            out, attn_v = self.attn(f_v, f_a, f_a, dup)
-            f_v = jnp.tile(f_v, (dup, 1, 1)) + out
-            f_v = f_v + self.mlp(self.norm2(f_v))
+            out, attn_v, factors = self.attn(f_v, f_a, f_a, dup,
+                                             return_factors=True)
+            if factors is not None and self.mlp_dedup:
+                f_v = self._mlp_dedup_update(f_v, out, *factors, dup)
+            else:
+                f_v = jnp.tile(f_v, (dup, 1, 1)) + out
+                f_v = f_v + self.mlp(self.norm2(f_v))
         else:
             f_v, attn_v = self.sdp(f_v, f_a, f_a)  # visual attends audio
         f_a, _ = self.sdp(f_a, f_v, f_v)        # audio attends updated visual
@@ -245,6 +351,7 @@ class CrossAttention(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = False
     collapse_rank1: bool = True
+    mlp_dedup: bool = True
     num_patches_v: int = 128 * 128
     dtype: Any = jnp.float32
 
@@ -262,6 +369,7 @@ class CrossAttention(nn.Module):
             Block(dim=self.embed_dim, num_heads=self.num_heads,
                   mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                   collapse_rank1=self.collapse_rank1,
+                  mlp_dedup=self.mlp_dedup,
                   dtype=self.dtype, name=f"block{i}")
             for i in range(self.depth)
         ]

@@ -87,6 +87,11 @@ class CAVP(nn.Module):
     # path is unaffected either way. False restores exact reference
     # behavior.
     cls_matched_only: bool = True
+    # Exact decomposed-MLP dedup in the fusion block's dup=2 train path
+    # (the big fc1 contraction runs on B, not 2B — see
+    # models/attn.py Block._mlp_dedup_update). Pure reassociation;
+    # --no_fusion_mlp_dedup restores the plain composition.
+    fusion_mlp_dedup: bool = True
 
     @property
     def latent_dim(self) -> int:
@@ -137,7 +142,9 @@ class CAVP(nn.Module):
             raise ValueError(f"UNKNOWN SEG MODEL {self.seg_model}")
 
         self.cross_att = CrossAttention(embed_dim=self.latent_dim,
-                                        depth=1, num_heads=4, dtype=self.dtype)
+                                        depth=1, num_heads=4,
+                                        mlp_dedup=self.fusion_mlp_dedup,
+                                        dtype=self.dtype)
         self.visual_projector = Mlp(hidden_features=256,
                                     out_features=self.latent_dim,
                                     dtype=self.dtype)

@@ -186,3 +186,67 @@ class TestRank1AttentionCollapse:
                                        err_msg=jax.tree_util.keystr(path))
 
         jax.tree_util.tree_map_with_path(check, gf, gr)
+
+
+class TestFusionMlpDedup:
+    """The decomposed-MLP dedup (Block._mlp_dedup_update): fc1 runs on B
+    instead of the duplicated 2B; LayerNorm's per-token affine commutes
+    with the matmul, so on == off to float roundoff — values AND grads,
+    through the full CrossAttention dup=2 train composition."""
+
+    def _build(self, mlp_dedup):
+        from cavp_tpu.models.attn import CrossAttention
+
+        return CrossAttention(embed_dim=64, depth=1, num_heads=4,
+                              mlp_dedup=mlp_dedup)
+
+    def test_dup2_values_and_grads_match(self):
+        import jax
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        f_v = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32))
+        f_a = jnp.asarray(rng.randn(4, 1, 1, 64).astype(np.float32))
+
+        on, off = self._build(True), self._build(False)
+        variables = on.init(jax.random.PRNGKey(0), f_v, f_a, dup=2)
+
+        def run(mod, v, fv, fa):
+            out_v, out_a, attn = mod.apply(v, fv, fa, dup=2)
+            return out_v, out_a, attn
+
+        a = run(on, variables, f_v, f_a)
+        b = run(off, variables, f_v, f_a)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-5, atol=2e-5)
+
+        def loss(mod):
+            def f(v):
+                out_v, out_a, _ = mod.apply(v, f_v, f_a, dup=2)
+                return (jnp.sum(out_v.astype(jnp.float32) ** 2)
+                        + jnp.sum(out_a.astype(jnp.float32) ** 2))
+            return f
+
+        ga = jax.grad(loss(on))(variables)
+        gb = jax.grad(loss(off))(variables)
+        flat_a = jax.tree_util.tree_leaves(ga)
+        flat_b = jax.tree_util.tree_leaves(gb)
+        for x, y in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_param_tree_unchanged(self):
+        """_LNRaw/_MlpRaw must keep the exact param names Mlp/LayerNorm
+        created — converted torch checkpoints and the f64 parity
+        harness depend on the tree."""
+        import jax
+
+        mod = self._build(True)
+        variables = mod.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 4, 4, 64)), jnp.zeros((2, 1, 1, 64)), dup=2)
+        p = variables["params"]["block0"]
+        assert set(p["mlp"].keys()) == {"fc1", "fc2"}
+        assert set(p["mlp"]["fc1"].keys()) == {"kernel", "bias"}
+        assert set(p["norm2"].keys()) == {"scale", "bias"}

@@ -129,8 +129,11 @@ class Config:
     # fc1 contraction of the MLP runs on B instead of the duplicated 2B
     # (LayerNorm is per-token affine, so its row scaling commutes with
     # the matmul; models/attn.py Block._mlp_dedup_update). Pure
-    # reassociation, f64-parity-pinned. --no_fusion_mlp_dedup disables.
-    fusion_mlp_dedup: bool = True
+    # reassociation, f64-parity-pinned. Measured NEGATIVE in context
+    # (chip A/B b32: 72.0 ms on vs 69.0 off, -4.2% — the B-sized fc1
+    # saving loses to breaking XLA's LN->matmul fusion; a first f32-
+    # combine version was -15%). Kept opt-in as a recorded negative.
+    fusion_mlp_dedup: bool = False
     # exact audio-tower dedup on the train path (avss + VGG tower only):
     # the shuffled half of the 2B clip batch is a permutation of the
     # matched half except for the <= floor(B*ow_rate) bank-overwritten

@@ -230,7 +230,7 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = False
     collapse_rank1: bool = True
-    mlp_dedup: bool = True
+    mlp_dedup: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -283,8 +283,15 @@ class Block(nn.Module):
         c1 = gacc @ W1.astype(accd)                               # [4C]
         c2 = b2.astype(accd) @ W1.astype(accd) + b1.astype(accd)  # [4C]
 
-        z = jnp.tile(big, (dup, 1, 1)).astype(accd) + corr.astype(accd) + c0
-        fc1 = (r * z - (r * mu) * c1 + c2).astype(dtype)
+        # combine in the compute dtype: an accd-wide (f32) combine
+        # materializes a [dup*B, N, 4C] f32 intermediate — measured 2x
+        # the bandwidth and -15% in-context. Only the LN statistics and
+        # the tiny [4C] constants stay in accd; the per-token scalars
+        # are applied in dtype (same reassociation).
+        rt = r.astype(dtype)
+        rmu = (r * mu).astype(dtype)
+        z = jnp.tile(big, (dup, 1, 1)) + corr.astype(dtype) + c0.astype(dtype)
+        fc1 = rt * z - rmu * c1.astype(dtype) + c2.astype(dtype)
         h1 = jax.nn.gelu(fc1, approximate=False)
         return x + self.mlp.fc2(h1)
 
@@ -351,7 +358,7 @@ class CrossAttention(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = False
     collapse_rank1: bool = True
-    mlp_dedup: bool = True
+    mlp_dedup: bool = False
     num_patches_v: int = 128 * 128
     dtype: Any = jnp.float32
 

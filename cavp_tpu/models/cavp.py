@@ -90,8 +90,8 @@ class CAVP(nn.Module):
     # Exact decomposed-MLP dedup in the fusion block's dup=2 train path
     # (the big fc1 contraction runs on B, not 2B — see
     # models/attn.py Block._mlp_dedup_update). Pure reassociation;
-    # --no_fusion_mlp_dedup restores the plain composition.
-    fusion_mlp_dedup: bool = True
+    # measured -4.2% in-context (docs/performance.md) -> opt-in.
+    fusion_mlp_dedup: bool = False
 
     @property
     def latent_dim(self) -> int:

@@ -56,9 +56,12 @@ def main():
 
     eval_step = jax.jit(make_eval_step(model, config))
 
-    # ---- batched (ours): 8 videos x 10 frames, metrics on device,
-    # one host sync per measurement window
-    BATCH = 80
+    # ---- batched (ours): 12 videos x 10 frames, metrics on device,
+    # one host sync per measurement window. B=120 won the round-4 batch
+    # sweep (scripts/bench_eval_batch.py: 2803 f/s vs 2707 at B=80,
+    # +3.6%; B=160/240 regress — the metric one-hot matmuls' operands
+    # outgrow what overlaps with the tower at larger B).
+    BATCH = 120
     batch = {k: jnp.asarray(v) for k, v in
              synthetic_eval_batch(config, BATCH).items()}
     metrics = eval_metrics_init(config.num_classes)

@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
                         action="store_true",
                         help="use the fused Pallas visual-fusion kernel on "
                              "the eval path")
+    parser.add_argument("--use_pallas_layer1", default=False,
+                        action="store_true",
+                        help="fused Pallas residual-stage kernel for the "
+                             "visual tower's layer1 on the eval path "
+                             "(ops/pallas/layer1_kernel.py)")
     parser.add_argument("--use_pallas_argmax", default=False,
                         action="store_true",
                         help="fused upsample+argmax kernel on the eval "

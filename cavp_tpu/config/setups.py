@@ -112,6 +112,10 @@ class Config:
     # train keeps the flax composition (CoroCL needs the projector
     # output and BN stat mutation)
     use_pallas_fusion: bool = False
+    # fused Pallas residual-stage kernel for layer1 (the visual tower's
+    # bandwidth-bound row: whole stage in one VMEM pass per image) on
+    # the eval path; train keeps the flax composition
+    use_pallas_layer1: bool = False
     # fused bilinear-upsample+argmax kernel on the eval metric path
     # (requires use_pallas_fusion; bitwise-equal pred)
     use_pallas_argmax: bool = False

@@ -328,6 +328,48 @@ def _multi_source_flag(pix_label: jnp.ndarray, thresh: int = 100) -> jnp.ndarray
     return jnp.sum(hist > thresh) > 2
 
 
+def _decomposable(model) -> bool:
+    return all(hasattr(model, m) for m in
+               ("forward_visual_feature", "forward_audio_feature",
+                "forward_cls"))
+
+
+def _make_visual_feature_fn(model, config):
+    """fea_v(variables, image) -> [B,h,w,latent], optionally routing
+    layer1 through the fused Pallas residual-stage kernel
+    (:mod:`cavp_tpu.ops.pallas.layer1_kernel`) — the bandwidth-bound row
+    of the visual ladder runs as one VMEM pass per image. Eval only;
+    DeepLabV3Plus/ResNet variants; maps beyond the kernel's VMEM tile
+    gate (512-sq images) fall back to the module path."""
+    use_l1 = (getattr(config, "use_pallas_layer1", False)
+              and getattr(model, "seg_model", "") == "DeepLabV3Plus")
+    if not use_l1:
+        def fea_v_fn(variables, image):
+            return model.apply(variables, image, False,
+                               method="forward_visual_feature")
+        return fea_v_fn
+
+    from cavp_tpu.ops.pallas.layer1_kernel import fused_layer1, layer1_fits
+
+    def fea_v_fn(variables, image):
+        h, w = image.shape[1:3]
+        if not (layer1_fits(h // 4, w // 4) and "batch_stats" in variables):
+            return model.apply(variables, image, False,
+                               method="forward_visual_feature")
+        stem = model.apply(variables, image, False,
+                           method=lambda m, im, tr: m.backbone.stem_forward(im, tr))
+        c1 = fused_layer1(variables["params"]["backbone"],
+                          variables["batch_stats"]["backbone"], stem)
+        feats = model.apply(
+            variables, c1, False,
+            method=lambda m, c, tr: m.backbone.forward_from_c1(c, tr))
+        return model.apply(
+            variables, feats, False,
+            method=lambda m, f, tr: m.segment.forward_feature(f, tr))
+
+    return fea_v_fn
+
+
 def make_inference_forward(model, config):
     """Returns fwd(variables, image, audio) -> logits for the eval path.
 
@@ -336,30 +378,39 @@ def make_inference_forward(model, config):
     runs through the fused Pallas kernel
     (:mod:`cavp_tpu.ops.pallas.fusion_kernel`) instead of the flax
     composition — same math, one VMEM-resident pass over the tokens.
+    With ``config.use_pallas_layer1`` the visual tower's layer1 stage
+    likewise runs through its fused kernel.
     """
-    use_fused = getattr(config, "use_pallas_fusion", False) and all(
-        hasattr(model, m) for m in
-        ("forward_visual_feature", "forward_audio_feature", "forward_cls"))
-    if not use_fused:
+    use_fused = getattr(config, "use_pallas_fusion", False) and \
+        _decomposable(model)
+    use_l1 = getattr(config, "use_pallas_layer1", False) and \
+        _decomposable(model)
+    if not (use_fused or use_l1):
         def fwd(variables, image, audio):
             logits, _, _ = model.apply(variables, image, audio,
                                        eval_mode=True)
             return logits
         return fwd
 
-    from cavp_tpu.ops.pallas.fusion_kernel import fused_visual_fusion
+    fea_v_fn = _make_visual_feature_fn(model, config)
+    if use_fused:
+        from cavp_tpu.ops.pallas.fusion_kernel import fused_visual_fusion
 
     def fwd(variables, image, audio):
-        fea_v = model.apply(variables, image, False,
-                            method="forward_visual_feature")
+        fea_v = fea_v_fn(variables, image)
         fea_a = model.apply(variables, audio, False,
                             method="forward_audio_feature")
         b, h, w, c = fea_v.shape
-        # CAVP pins CROSS_ATTENTION at 4 heads (models/attn.py:173,235)
-        tokens = fused_visual_fusion(variables["params"], fea_v, fea_a,
-                                     num_heads=4)
-        return model.apply(variables, tokens.reshape(b, h, w, c),
-                           image.shape[1:3], False, method="forward_cls")
+        if use_fused:
+            # CAVP pins CROSS_ATTENTION at 4 heads (models/attn.py:173,235)
+            tokens = fused_visual_fusion(variables["params"], fea_v, fea_a,
+                                         num_heads=4)
+            fused = tokens.reshape(b, h, w, c)
+        else:
+            fused, _ = model.apply(variables, fea_v, fea_a,
+                                   method="forward_fusion")
+        return model.apply(variables, fused, image.shape[1:3], False,
+                           method="forward_cls")
 
     return fwd
 
@@ -376,9 +427,8 @@ def make_eval_pred_forward(model, config):
     matrices have <=2 nonzeros per row, so the blocked matmuls round
     identically (pinned in tests/test_pallas_fusion.py).
     """
-    use_fused = getattr(config, "use_pallas_fusion", False) and all(
-        hasattr(model, m) for m in
-        ("forward_visual_feature", "forward_audio_feature", "forward_cls"))
+    use_fused = getattr(config, "use_pallas_fusion", False) and \
+        _decomposable(model)
     if not use_fused:
         fwd = make_inference_forward(model, config)
 
@@ -391,10 +441,10 @@ def make_eval_pred_forward(model, config):
     from cavp_tpu.ops.pallas.upsample_argmax_kernel import upsample_argmax
     from cavp_tpu.ops.interp import interpolate_bilinear
     use_pallas_argmax = getattr(config, "use_pallas_argmax", False)
+    fea_v_fn = _make_visual_feature_fn(model, config)
 
     def pred_fn(variables, image, audio):
-        fea_v = model.apply(variables, image, False,
-                            method="forward_visual_feature")
+        fea_v = fea_v_fn(variables, image)
         fea_a = model.apply(variables, audio, False,
                             method="forward_audio_feature")
         b, h, w, c = fea_v.shape

@@ -120,7 +120,15 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Deep-stem ResNet returning [c1, c2, c3, c4] stage features."""
+    """Deep-stem ResNet returning [c1, c2, c3, c4] stage features.
+
+    setup()-style (round 4) so the eval path can enter/exit at stage
+    boundaries — ``stem_forward`` + ``forward_from_c1`` bracket layer1
+    for the fused Pallas residual-stage kernel
+    (:mod:`cavp_tpu.ops.pallas.layer1_kernel`). Attribute names are
+    chosen so the param/batch_stats tree is byte-identical to the
+    previous @nn.compact layout (``stem_conv1``.., ``layer{s}_{b}``).
+    """
 
     depth: int = 50
     replace_stride_with_dilation: Sequence[bool] = (False, False, False)
@@ -131,35 +139,27 @@ class ResNet(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def setup(self):
         sw = self.stem_width
-        bn = lambda name: BatchNorm(momentum=self.bn_momentum, epsilon=self.bn_eps,
-                                    axis_name=self.axis_name, dtype=self.dtype,
-                                    name=name)
+        bn = lambda: BatchNorm(momentum=self.bn_momentum, epsilon=self.bn_eps,
+                               axis_name=self.axis_name, dtype=self.dtype)
+        conv = lambda f, s: Conv(f, 3, strides=s, padding=1, use_bias=False,
+                                 dtype=self.dtype)
         # deep stem (resnet.py:107-121): convs are stem.0/stem.3/stem.6 in torch
-        x = Conv(sw, 3, strides=2, padding=1, use_bias=False, dtype=self.dtype,
-                 name="stem_conv1")(x)
-        x = bn("stem_bn1")(x, not train)
-        x = nn.relu(x)
-        x = Conv(sw, 3, strides=1, padding=1, use_bias=False, dtype=self.dtype,
-                 name="stem_conv2")(x)
-        x = bn("stem_bn2")(x, not train)
-        x = nn.relu(x)
-        x = Conv(sw * 2, 3, strides=1, padding=1, use_bias=False, dtype=self.dtype,
-                 name="stem_conv3")(x)
-        x = bn("bn1")(x, not train)
-        x = nn.relu(x)
-        x = max_pool(x, 3, 2, 1)
+        self.stem_conv1 = conv(sw, 2)
+        self.stem_bn1 = bn()
+        self.stem_conv2 = conv(sw, 1)
+        self.stem_bn2 = bn()
+        self.stem_conv3 = conv(sw * 2, 1)
+        self.bn1 = bn()
 
         layers = RESNET_LAYERS[self.depth]
         specs = stage_specs(layers, self.replace_stride_with_dilation,
                             self.nostride_dilate_layer4)
-        feats = []
         for stage_idx, stage in enumerate(specs):
             planes = (64, 128, 256, 512)[stage_idx]
-            for block_idx, spec in enumerate(stage):
-                x = Bottleneck(
+            blocks = [
+                Bottleneck(
                     planes=planes,
                     stride=spec["stride"],
                     dilation=spec["dilation"],
@@ -168,7 +168,38 @@ class ResNet(nn.Module):
                     bn_eps=self.bn_eps,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
-                    name=f"layer{stage_idx + 1}_{block_idx}",
-                )(x, train)
+                )
+                for spec in stage
+            ]
+            # attribute name "layer<k>" -> flax names them layer<k>_<i>,
+            # matching the old compact layout's explicit names.
+            setattr(self, f"layer{stage_idx + 1}", blocks)
+
+    def stem_forward(self, x, train: bool = False):
+        """Deep stem + maxpool: [B,H,W,3] -> [B,H/4,W/4,2*stem_width]."""
+        x = self.stem_conv1(x)
+        x = self.stem_bn1(x, not train)
+        x = nn.relu(x)
+        x = self.stem_conv2(x)
+        x = self.stem_bn2(x, not train)
+        x = nn.relu(x)
+        x = self.stem_conv3(x)
+        x = self.bn1(x, not train)
+        x = nn.relu(x)
+        return max_pool(x, 3, 2, 1)
+
+    def forward_from_c1(self, c1, train: bool = False):
+        """Stages 2..4 given the layer1 output; returns [c1, c2, c3, c4]."""
+        feats = [c1]
+        x = c1
+        for stage in (self.layer2, self.layer3, self.layer4):
+            for block in stage:
+                x = block(x, train)
             feats.append(x)
         return feats
+
+    def __call__(self, x, train: bool = False):
+        x = self.stem_forward(x, train)
+        for block in self.layer1:
+            x = block(x, train)
+        return self.forward_from_c1(x, train)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""In-context A/B for the fused layer1 residual-stage Pallas kernel.
+
+The visual-tower ladder (docs/performance.md) names layer1 the
+bandwidth-bound row: ~8 ms real at 5% MFU for b80 eval — three
+bottleneck blocks at 56-sq whose BN/ReLU/residual HBM round-trips dwarf
+their thin 64-channel matmuls. The kernel
+(cavp_tpu/ops/pallas/layer1_kernel.py) runs the whole stage in one VMEM
+pass per image. This script times the full headline eval step
+(use_pallas_fusion on, the bench.py configuration) with
+use_pallas_layer1 off vs on — the keep/flip-the-default number.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cavp_tpu.utils.hostfp import cache_dir as _hostfp_dir
+
+jax.config.update("jax_compilation_cache_dir", _hostfp_dir("/tmp/jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+B = 120
+
+
+def run(config, model, variables, batch):
+    from cavp_tpu.engine.loops import eval_metrics_init, make_eval_step
+
+    eval_step = jax.jit(make_eval_step(model, config))
+    metrics = eval_metrics_init(config.num_classes)
+    metrics = eval_step(variables, metrics, batch)
+    _ = np.asarray(metrics.miou_all.inter)  # hard sync (compile + warm)
+    best = 0.0
+    for _rep in range(3):
+        n_iters = max(4, 1600 // B)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            metrics = eval_step(variables, metrics, batch)
+        _ = np.asarray(metrics.miou_all.inter)
+        dt = time.perf_counter() - t0
+        best = max(best, B * n_iters / dt)
+    return best
+
+
+def main():
+    from cavp_tpu.config import get_config
+    from cavp_tpu.data.synthetic import synthetic_eval_batch
+    from cavp_tpu.engine.runner import build_model
+
+    base = get_config("avss").replace(
+        image_width=224, image_height=224, compute_dtype="bfloat16",
+        use_pallas_fusion=True)
+    model = build_model(base)
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, jnp.zeros((1, 224, 224, 3), jnp.float32),
+                             jnp.zeros((1, 96, 64, 1), jnp.float32),
+                             eval_mode=True),
+        jax.random.PRNGKey(0))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    # BN running vars of zeros give a huge folded scale; harmless for
+    # timing but make them 1.0 so both paths see realistic magnitudes.
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jax.tree_util.tree_map(
+            lambda a: jnp.ones_like(a), variables["batch_stats"]),
+    }
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_eval_batch(base, B).items()}
+
+    off = run(base, model, variables, batch)
+    print(json.dumps({"what": "layer1_ab", "use_pallas_layer1": False,
+                      "batch": B, "frames_per_sec": round(off, 1)}),
+          flush=True)
+    on = run(base.replace(use_pallas_layer1=True), model, variables, batch)
+    print(json.dumps({"what": "layer1_ab", "use_pallas_layer1": True,
+                      "batch": B, "frames_per_sec": round(on, 1)}),
+          flush=True)
+    print(json.dumps({"what": "layer1_ab_summary",
+                      "off_fps": round(off, 1), "on_fps": round(on, 1),
+                      "speedup_pct": round(100.0 * (on - off) / off, 2)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
                         action="store_true",
                         help="use the fused Pallas visual-fusion kernel on "
                              "the eval path")
+    parser.add_argument("--use_pallas_fusion_train", default=False,
+                        action="store_true",
+                        help="use the fused Pallas visual-fusion kernel "
+                             "(fwd + custom-VJP bwd) on the train path")
     parser.add_argument("--use_pallas_layer1", default=False,
                         action="store_true",
                         help="fused Pallas residual-stage kernel for the "

@@ -112,6 +112,11 @@ class Config:
     # train keeps the flax composition (CoroCL needs the projector
     # output and BN stat mutation)
     use_pallas_fusion: bool = False
+    # fused Pallas visual-fusion kernel on the TRAIN path (dup=2 chain
+    # as one forward kernel + a full-recompute backward kernel wired as
+    # a jax.custom_vjp — no AD activation stashes for the fusion stage
+    # in HBM; ops/pallas/fusion_train_kernel.py). DeepLab variants.
+    use_pallas_fusion_train: bool = False
     # fused Pallas residual-stage kernel for layer1 (the visual tower's
     # bandwidth-bound row: whole stage in one VMEM pass per image) on
     # the eval path; train keeps the flax composition

@@ -80,6 +80,17 @@ def make_train_step(
         config.avsbench_split == "all" and config.setup != "avss_binary")
     filter_bg_only = variant == "vpo_stereo"
     use_pallas = getattr(config, "use_pallas_mel", False)
+    # Fused Pallas train-path fusion (fwd + hand-written VJP backward,
+    # ops/pallas/fusion_train_kernel.py): the dup=2 fusion chain runs in
+    # VMEM both ways, so AD's fusion-stage activation stashes (the
+    # [2B,N,4C] GELU input alone is ~490 MB at b32/224-sq) never touch
+    # HBM. DeepLab variants only (the decomposed forward needs the CAVP
+    # method surface); numerically pinned vs the module path in
+    # tests/test_fusion_train_kernel.py.
+    use_fused_fusion = (getattr(config, "use_pallas_fusion_train", False)
+                        and _decomposable(model)
+                        and getattr(model, "seg_model", "")
+                        == "DeepLabV3Plus")
 
     def train_step(state, batch, rng, epoch):
         image = batch["image"]
@@ -192,12 +203,51 @@ def make_train_step(
         extra = tuple(getattr(config, "extra_losses", ()) or ())
 
         def loss_fn(params):
-            (logits2b, fused2b, pack), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                image, audio, eval_mode=False,
-                audio_gather_idx=audio_gather_idx,
-                mutable=["batch_stats"],
-                rngs={"dropout": k_drop})  # HRNet/OCR head Dropout2d
+            if use_fused_fusion:
+                from cavp_tpu.ops.pallas.fusion_train_kernel import \
+                    fusion_train
+
+                # Each method-apply returns the FULL batch_stats
+                # collection (untouched entries at their input values),
+                # so the updated stats are THREADED through the three
+                # applies — the methods touch disjoint BN submodules —
+                # and the last apply's collection is the new state.
+                fea_v, mut_v = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    image, True,
+                    method="forward_visual_feature",
+                    mutable=["batch_stats"])
+                fea_a, mut_a = model.apply(
+                    {"params": params,
+                     "batch_stats": mut_v["batch_stats"]},
+                    audio, True,
+                    method="forward_audio_feature",
+                    mutable=["batch_stats"])
+                if audio_gather_idx is not None:
+                    fea_a = jnp.concatenate(
+                        [fea_a[:B], fea_a[audio_gather_idx]], axis=0)
+                _, hh, wh, cc = fea_v.shape
+                # CAVP pins CROSS_ATTENTION at 4 heads (attn.py:173,235)
+                tokens = fusion_train(params, fea_v, fea_a, num_heads=4)
+                fused2b = tokens.reshape(2 * B, hh, wh, cc)
+                head_in = (fused2b[:B]
+                           if getattr(model, "cls_matched_only", True)
+                           else fused2b)
+                logits2b, mut_c = model.apply(
+                    {"params": params,
+                     "batch_stats": mut_a["batch_stats"]},
+                    head_in, image.shape[1:3], True,
+                    method="forward_cls", mutable=["batch_stats"])
+                new_bs = mut_c["batch_stats"]
+                pack = {"audio": fea_a}
+            else:
+                (logits2b, fused2b, pack), mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    image, audio, eval_mode=False,
+                    audio_gather_idx=audio_gather_idx,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": k_drop})  # HRNet/OCR head Dropout2d
+                new_bs = mutated["batch_stats"]
             output = logits2b[:B]  # + 0*logits2b[B:] — identical gradient
             l_ce = cross_entropy(output, pix_label)
             l_ctr, aux = corocl_loss(
@@ -227,7 +277,7 @@ def make_train_step(
                     pix_label, temperature=config.cl_temp)
                 loss = loss + config.loss_w * l_px
                 aux = {**aux, "loss/l_pixel_contrast": l_px}
-            return loss, (mutated["batch_stats"], l_ce, l_ctr, aux)
+            return loss, (new_bs, l_ce, l_ctr, aux)
 
         (loss, (new_bs, l_ce, l_ctr, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

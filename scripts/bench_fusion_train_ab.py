@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Same-run A/B of the fused Pallas train-path fusion kernel in context.
+
+Times the batch-32 avss-224 train step with
+``config.use_pallas_fusion_train`` toggled (the dup=2 fusion chain as
+one forward Pallas kernel + a full-recompute backward kernel vs the
+flax composition under AD), interleaved A/B/A/B in one process so
+transport drift cancels. Exactness is pinned separately
+(tests/test_fusion_train_kernel.py); this script measures the
+in-context win. Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from cavp_tpu.utils.hostfp import cache_dir as _hostfp_dir
+
+jax.config.update("jax_compilation_cache_dir", _hostfp_dir("/tmp/jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    from _bench_util import zero_train_state
+    from cavp_tpu.config import get_config
+    from cavp_tpu.data.synthetic import synthetic_train_batch
+    from cavp_tpu.engine.loops import make_train_step
+    from cavp_tpu.engine.optim import make_optimizer
+    from cavp_tpu.engine.runner import build_model
+
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    base = get_config("avss").replace(
+        image_width=224, image_height=224, compute_dtype="bfloat16",
+        batch_size=B)
+    tx, _ = make_optimizer(base)
+    model = build_model(base)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_train_batch(base, B).items()}
+    rng = jax.random.PRNGKey(0)
+    epoch = jnp.asarray(1)
+
+    steps = {}
+    for fused in (True, False):
+        cfg = base.replace(use_pallas_fusion_train=fused)
+        state = zero_train_state(model, tx, cfg, B)
+        fn = jax.jit(make_train_step(model, tx, cfg, variant="avss"))
+        st, metrics = fn(state, batch, rng, epoch)
+        _ = float(metrics["loss/loss"])  # compile + warm
+        steps[fused] = (fn, st)
+
+    def time_train(fn_state, iters=15):
+        fn, state = fn_state
+        st, metrics = fn(state, batch, rng, epoch)
+        _ = float(metrics["loss/loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, metrics = fn(st, batch, rng, epoch)
+        _ = float(metrics["loss/loss"])
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    on_ms, off_ms = [], []
+    for _ in range(3):
+        on_ms.append(time_train(steps[True]))
+        off_ms.append(time_train(steps[False]))
+    emit(what=f"train_step_224_b{B}_ms",
+         fused_on=round(min(on_ms), 3), fused_off=round(min(off_ms), 3),
+         imgs_on=round(B / min(on_ms) * 1e3, 1),
+         imgs_off=round(B / min(off_ms) * 1e3, 1))
+
+
+if __name__ == "__main__":
+    main()

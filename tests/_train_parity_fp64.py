@@ -90,7 +90,12 @@ def main():
                        batch_stats=batch_stats, opt_state=tx.init(params),
                        sound_bank=init_bank(NUM_CLASSES, B,
                                             cfg.audio_samples))
-    train_step = jax.jit(make_train_step(fmodel, tx, cfg, variant=VARIANT))
+    # avss_binary is the avss step with setup-gated bank/overwrite off
+    # (main_avss.py drives it with variant="avss"; the config carries
+    # setup="avss_binary")
+    step_variant = "avss" if VARIANT == "avss_binary" else VARIANT
+    train_step = jax.jit(make_train_step(fmodel, tx, cfg,
+                                         variant=step_variant))
 
     corocl = TorchCoroCL(temperature=cfg.cl_temp, max_views=MAX_VIEWS)
     opt_v, opt_a = build_reference_optimizers(tmodel, cfg.lr, cfg.momentum,

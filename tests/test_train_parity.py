@@ -198,6 +198,37 @@ class TestTrainStepParityFp64Stereo:
             assert delta > 1e-7, f"{group} group did not move"
 
 
+class TestTrainStepParityFp64Binary:
+    """The binary S4/MS3 setting (trainer_cavp_avs_obj.py train loop,
+    driven by main_avss.py with setup=avss_binary): same hot-loop math
+    as avss but with the sound-bank and overwrite plumbing gated OFF by
+    the setup (engine/loops.py use_wave_bank/use_overwrite). Measures —
+    rather than argues — that the setup gates leave the epoch-0 step's
+    parameter updates exactly on the torch trajectory (the second half
+    of VERDICT r3 next-round item #5)."""
+
+    @pytest.fixture(scope="class")
+    def report(self):
+        return _run_fp64_driver("avss_binary", 2)
+
+    def test_loss_trajectory(self, report):
+        for s, (t, f) in enumerate(zip(report["t_losses"],
+                                       report["f_losses"])):
+            np.testing.assert_allclose(f, t, rtol=1e-6, atol=1e-6,
+                                       err_msg=f"step {s}")
+
+    def test_step1_deltas_tight(self, report):
+        worst = report["step1"]["worst_params"]
+        assert worst and worst[0][0] < 1e-4, worst[:5]
+        worst_bn = report["step1"]["worst_bn"]
+        assert worst_bn and worst_bn[0][0] < 1e-6, worst_bn
+        assert report["step1"]["frozen_moved"] == []
+
+    def test_every_group_moved(self, report):
+        for group, delta in report["moved_probes"].items():
+            assert delta > 1e-7, f"{group} group did not move"
+
+
 class TestTrainStepParityFp64Mono:
     """The vpo_mono trainer variant (trainer_cavp_vpo_mono.py:30-308):
     mono 3-s clips -> 300-frame mel -> ResNet-18 audio tower, the

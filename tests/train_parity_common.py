@@ -86,6 +86,16 @@ def make_test_config(get_config, variant="avss"):
         # the stereo configuration: 3 s audio -> ResNet-18 audio tower,
         # 2-channel waveforms (config_vpo_ss.py:51, in_plane=2)
         cfg = cfg.replace(audio_len=3.0, audio_backbone="18", in_plane=2)
+    elif variant == "avss_binary":
+        # binary S4/MS3 setting (trainer_cavp_avs_obj.py train loop at
+        # epoch 0 with avsbench_split != "all"): identical hot-loop math
+        # to avss, but the setup gates turn the sound bank and the
+        # overwrite plumbing OFF in the jitted step (engine/loops.py
+        # use_wave_bank/use_overwrite). The leg measures that flipping
+        # those gates does not perturb the step (VERDICT r3 #5's "if
+        # cheap" half). Fixture classes stay at NUM_CLASSES — the gate
+        # logic, not the head width, is what differs under test.
+        cfg = cfg.replace(setup="avss_binary", avsbench_split="s4")
     elif variant == "vpo_mono":
         # vpo_mono (trainer_cavp_vpo_mono.py:30-308): mono 3-s clips,
         # ResNet-18 audio tower, audio_func=False (2B waveform concat

@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
                         action="store_true",
                         help="use the fused Pallas visual-fusion kernel "
                              "(fwd + custom-VJP bwd) on the train path")
+    parser.add_argument("--fused_optimizer", default=False,
+                        action="store_true",
+                        help="hand-fused single-pass optimizer with the "
+                             "exact multi_transform semantics "
+                             "(engine/optim.py fused_optimizer)")
     parser.add_argument("--use_pallas_layer1", default=False,
                         action="store_true",
                         help="fused Pallas residual-stage kernel for the "
@@ -119,7 +124,7 @@ def build_parser() -> argparse.ArgumentParser:
                         action="store_true",
                         help="exact decomposed-MLP dedup in the fusion "
                              "block's train path (fc1 on B instead of "
-                             "2B) — measured -4.2% in context, kept "
+                             "2B) — measured -4.2%% in context, kept "
                              "opt-in as a recorded negative")
     parser.add_argument("--s2_phase_bwd", default=False,
                         action="store_true",

@@ -117,6 +117,11 @@ class Config:
     # a jax.custom_vjp — no AD activation stashes for the fusion stage
     # in HBM; ops/pallas/fusion_train_kernel.py). DeepLab variants.
     use_pallas_fusion_train: bool = False
+    # hand-fused single-pass optimizer: exact multi_transform semantics
+    # in one tree_map (engine/optim.py fused_optimizer; equivalence
+    # pinned bitwise in tests/test_fused_optim.py). Opt-in until the
+    # chip A/B justifies a flip.
+    fused_optimizer: bool = False
     # fused Pallas residual-stage kernel for layer1 (the visual tower's
     # bandwidth-bound row: whole stage in one VMEM pass per image) on
     # the eval path; train keeps the flax composition

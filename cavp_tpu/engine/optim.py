@@ -23,11 +23,24 @@ preserved by the add_decayed_weights -> trace -> scale ordering.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+import functools
+from typing import Any, Callable, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
+
+
+@functools.partial(jax.jit, inline=True)
+def _one_minus_pow(decay, count):
+    """Mirror of the ``1 - decay**count`` inside optax's jit-inlined
+    ``optax.tree.bias_correction`` (same traced-arg signature). Needed
+    for bitwise equality with ``optax.adam`` under EAGER execution:
+    eager ``b2 ** count`` constant-folds pow with both operands known,
+    while the jitted helper computes a runtime pow — at count=3 the
+    two differ by ~1e-5 relative after the catastrophic ``1 - 0.999^c``
+    cancellation. Under an outer jit both inline to identical HLO."""
+    return 1 - decay ** count
 
 
 def _flat_path(path) -> str:
@@ -79,6 +92,82 @@ def sgd_group(schedule: Callable, lr_multiplier: float, momentum: float,
     return optax.chain(*chain)
 
 
+class FusedOptState(NamedTuple):
+    """State of :func:`fused_optimizer`: one shared step counter and a
+    per-leaf buffer tuple — ``(trace,)`` for SGD leaves, ``(mu, nu)``
+    for Adam (audio) leaves. Structurally a pytree, so it checkpoints
+    like any optax state."""
+    count: jnp.ndarray
+    slots: Any
+
+
+def fused_optimizer(config, schedule) -> optax.GradientTransformation:
+    """The exact update of :func:`make_optimizer`'s 6-group
+    ``multi_transform``, hand-fused into ONE tree pass.
+
+    Semantics are op-for-op identical to the optax chain (torch-SGD
+    ``g+wd*p -> momentum trace -> -mult*lr(count-1)`` per group;
+    bias-corrected Adam at constant ``args.lr`` on the audio tower;
+    the same post-step lr lag), pinned by tests/test_fused_optim.py. The
+    motivation is runtime structure, not math: one ``tree_map`` with
+    per-leaf statically-baked (group, mult, wd) gives XLA one fusion
+    per leaf instead of the multi_transform's per-group masked chains
+    (measured machinery cost: scripts/bench_optim_probe.py).
+    """
+    base = config.lr
+    momentum = config.momentum
+    wd = config.weight_decay
+    b1, b2, eps = 0.9, 0.999, 1e-8  # optax.adam defaults == torch Adam
+
+    def lr_at(count):
+        lagged = schedule(jnp.maximum(count - 1, 0))
+        return jnp.where(count == 0, base, lagged)
+
+    def leaf_init(path, p):
+        if param_label(path, p) == "audio":
+            return (jnp.zeros_like(p), jnp.zeros_like(p))
+        return (jnp.zeros_like(p),)
+
+    def init(params):
+        return FusedOptState(
+            count=jnp.zeros([], jnp.int32),
+            slots=jax.tree_util.tree_map_with_path(leaf_init, params))
+
+    def update(updates, state, params):
+        count = state.count
+        lr = lr_at(count)  # pre-increment, like scale_by_schedule
+        count_inc = optax.safe_increment(count)
+        # Adam bias corrections, shared across audio leaves (computed
+        # through the jit-inline mirror for bitwise optax equality)
+        bc1 = _one_minus_pow(b1, count_inc)
+        bc2 = _one_minus_pow(b2, count_inc)
+
+        def leaf_up(path, g, p, slot):
+            label = param_label(path, g)
+            if label == "audio":
+                mu, nu = slot
+                mu = b1 * mu + (1.0 - b1) * g
+                nu = b2 * nu + (1.0 - b2) * (g * g)
+                upd = (-base) * ((mu / bc1) / (jnp.sqrt(nu / bc2) + eps))
+                return upd, (mu, nu)
+            mult = 10.0 if label.startswith("seg") else 1.0
+            u = g + wd * p if (wd and label in
+                               ("seg_decay", "bkb_decay", "fusion")) else g
+            (buf,) = slot
+            buf = u + momentum * buf          # optax.trace op order
+            return (-mult * lr) * buf, (buf,)
+
+        pairs = jax.tree_util.tree_map_with_path(
+            leaf_up, updates, params, state.slots)
+        treedef = jax.tree_util.tree_structure(updates)
+        flat = treedef.flatten_up_to(pairs)
+        new_updates = treedef.unflatten([t[0] for t in flat])
+        new_slots = treedef.unflatten([t[1] for t in flat])
+        return new_updates, FusedOptState(count=count_inc, slots=new_slots)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(config, steps_per_epoch: int = None):
     """The full two-optimizer structure over one param tree.
     Returns (tx, schedule)."""
@@ -90,6 +179,9 @@ def make_optimizer(config, steps_per_epoch: int = None):
     schedule = warmup_poly_schedule(
         config.lr, config.lr_power, total_iters,
         steps_per_epoch * config.warm_up_epoch)
+
+    if getattr(config, "fused_optimizer", False):
+        return fused_optimizer(config, schedule), schedule
 
     base = config.lr  # step-0 lr: the optimizer's constructor value
     transforms: Dict[str, optax.GradientTransformation] = {

@@ -68,13 +68,18 @@ def main():
 
     metrics = eval_step(variables, metrics, batch)   # compile
     _ = np.asarray(metrics.miou_all.inter)
+    # best of 3 windows: the tunnel's per-sync RTT jitter showed up as a
+    # 132-193x spread in the recorded ratio across rounds; a best-of
+    # window is the standard fix and measures the same steady state.
     n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        metrics = eval_step(variables, metrics, batch)
-    _ = np.asarray(metrics.miou_all.inter)           # hard sync
-    dt = time.perf_counter() - t0
-    ours = BATCH * n_iters / dt
+    best_dt = float("inf")
+    for _window in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            metrics = eval_step(variables, metrics, batch)
+        _ = np.asarray(metrics.miou_all.inter)       # hard sync
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    ours = BATCH * n_iters / best_dt
 
     # ---- reference-style loop: batch-1 frames, per-frame host sync
     one = {k: v[:1] for k, v in batch.items()}
@@ -82,14 +87,16 @@ def main():
     m1 = eval_step(variables, m1, one)               # compile batch-1
     _ = np.asarray(m1.miou_all.inter)
     n_ref = 20
-    t0 = time.perf_counter()
-    for _ in range(n_ref):
-        m1 = eval_step(variables, m1, one)
-        # the reference's per-frame `.cpu()` metric sync
-        _ = np.asarray(m1.miou_all.inter)
-        _ = np.asarray(m1.fg_all)
-    dt_ref = time.perf_counter() - t0
-    ref = n_ref / dt_ref
+    best_ref = float("inf")
+    for _window in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_ref):
+            m1 = eval_step(variables, m1, one)
+            # the reference's per-frame `.cpu()` metric sync
+            _ = np.asarray(m1.miou_all.inter)
+            _ = np.asarray(m1.fg_all)
+        best_ref = min(best_ref, time.perf_counter() - t0)
+    ref = n_ref / best_ref
 
     print(json.dumps({
         "metric": "avsbench_ss_eval_frames_per_sec_per_chip",

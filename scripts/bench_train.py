@@ -66,9 +66,11 @@ def bench_train(batch_sizes=(16, 32, 64)):
     from cavp_tpu.engine.runner import build_model
 
     for bs in batch_sizes:
+        # best shipping train config: fused train-path fusion kernel
+        # (+8.4% b32 A/B, scripts/bench_fusion_train_ab.py)
         config = get_config("avss").replace(
             image_width=224, image_height=224, batch_size=bs,
-            compute_dtype="bfloat16")
+            compute_dtype="bfloat16", use_pallas_fusion_train=True)
         model = build_model(config)
         tx, _ = make_optimizer(config)
 
@@ -81,7 +83,10 @@ def bench_train(batch_sizes=(16, 32, 64)):
         rng = jax.random.PRNGKey(0)
         epoch = jnp.asarray(1)  # overwrite + bank path active
 
-        step = jax.jit(make_train_step(model, tx, config, variant="avss"))
+        # donate state like the production step (engine/runner.py) —
+        # the measured program should be the shipping program
+        step = jax.jit(make_train_step(model, tx, config, variant="avss"),
+                       donate_argnums=(0,))
         t_c0 = time.perf_counter()
         lowered = step.lower(state, batch, rng, epoch)
         compiled = lowered.compile()
@@ -115,7 +120,15 @@ def bench_train(batch_sizes=(16, 32, 64)):
 
 
 if __name__ == "__main__":
-    emit(stage="mel")
-    bench_mel()
-    emit(stage="train")
-    bench_train()
+    # optional: batch sizes as argv (e.g. `bench_train.py 32 48 64 96`
+    # re-sweeps the train batch — the fused train kernel removed the
+    # fusion stage's AD stashes, changing the memory profile the
+    # original 16/32/64 sweep was run under). No argv = full run.
+    if len(sys.argv) > 1:
+        emit(stage="train")
+        bench_train(tuple(int(a) for a in sys.argv[1:]))
+    else:
+        emit(stage="mel")
+        bench_mel()
+        emit(stage="train")
+        bench_train()

@@ -27,10 +27,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cavp_tpu.utils.hostfp import cache_dir as _hostfp_dir
+from cavp_tpu.utils.hostfp import set_compile_cache
 
-jax.config.update("jax_compilation_cache_dir", _hostfp_dir("/tmp/jax_tpu_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+set_compile_cache("/tmp/jax_tpu_cache")
 
 
 def main():
@@ -102,6 +101,7 @@ def main():
         "metric": "avsbench_ss_eval_frames_per_sec_per_chip",
         "value": round(ours, 2),
         "unit": "frames/sec/chip",
+        "batch_size": BATCH,
         "vs_baseline": round(ours / ref, 2),
         # raw emulated-baseline f/s so the run-to-run spread of the
         # ratio (the per-frame sync pays a full tunnel RTT here; 135-193x

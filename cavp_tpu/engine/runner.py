@@ -51,9 +51,8 @@ from cavp_tpu.utils import Tensorboard, logger, suppress_non_primary
 # compile cache here — unless the caller (tests, bench) already chose one.
 try:
     if jax.config.jax_compilation_cache_dir is None:
-        from cavp_tpu.utils.hostfp import cache_dir as _hostfp_dir
-        jax.config.update("jax_compilation_cache_dir", _hostfp_dir("/tmp/jax_tpu_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        from cavp_tpu.utils.hostfp import set_compile_cache
+        set_compile_cache("/tmp/jax_tpu_cache")
 except Exception:
     pass
 
@@ -94,7 +93,7 @@ def build_model(config: Config, baseline: bool = False):
         last_three_dilation_stride=tuple(config.last_three_dilation_stride),
         audio_backbone=config.audio_backbone,
         in_plane=config.in_plane,
-        fusion_mlp_dedup=bool(getattr(config, "fusion_mlp_dedup", True)),
+        fusion_mlp_dedup=bool(getattr(config, "fusion_mlp_dedup", False)),
         dtype=dtype)
 
 

@@ -229,6 +229,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, b'{"error": "bad Content-Length"}',
                         "application/json")
             return
+        if length <= 0:
+            # a negative length would skip the 413 cap below and make
+            # rfile.read(-1) buffer the whole stream (unbounded)
+            self._reply(400, b'{"error": "bad Content-Length"}',
+                        "application/json")
+            return
         if length > self.max_body_bytes:
             self._reply(413, json.dumps(
                 {"error": f"body {length}B exceeds "

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cavp_tpu.ops.pallas.common import erf_f32 as _erf
+
 _F32 = jnp.float32
 
 
@@ -56,21 +58,13 @@ def _mm(x, w_ref):
     return jnp.dot(x, w_ref[:], preferred_element_type=_F32).astype(x.dtype)
 
 
-def _erf(x):
-    """Abramowitz–Stegun 7.1.26 rational erf, |err| <= 1.5e-7 (Mosaic
-    has no erf/erfc primitive; exp is available)."""
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
-             - 0.284496736) * t + 0.254829592) * t
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
-
-
 def _gelu(x):
     """Exact (erf-form) GELU in f32 — matches jax.nn.gelu
     (approximate=False) to ~1e-7; the erfc lowering jax.nn.gelu uses for
-    half precision has no Mosaic primitive."""
+    half precision has no Mosaic primitive. NOTE this (eval) kernel
+    rounds back to the IO dtype here; the train kernel's _gelu_f32
+    deliberately stays f32 across its recompute chain (see
+    ops/pallas/common.py)."""
     xf = x.astype(_F32)
     y = 0.5 * xf * (1.0 + _erf(xf * 0.7071067811865476))
     return y.astype(x.dtype)

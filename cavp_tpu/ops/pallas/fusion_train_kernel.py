@@ -46,26 +46,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cavp_tpu.ops.pallas.common import SQRT_2PI_INV as _SQRT_2PI_INV
+from cavp_tpu.ops.pallas.common import phi_f32 as _phi
+
 _F32 = jnp.float32
-_SQRT_2PI_INV = 0.3989422804014327  # 1/sqrt(2*pi)
-
-
-def _erf(x):
-    """Abramowitz–Stegun 7.1.26 rational erf (no Mosaic erf primitive)."""
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
-             - 0.284496736) * t + 0.254829592) * t
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _phi(x):
-    """Standard normal CDF in f32."""
-    return 0.5 * (1.0 + _erf(x * 0.7071067811865476))
 
 
 def _gelu_f32(x):
+    """GELU kept in f32 (unlike the eval kernel's round-per-op _gelu):
+    the recompute-backward chain reuses these f32 intermediates, and
+    dgelu below must differentiate exactly this form."""
     return x * _phi(x)
 
 

@@ -24,10 +24,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cavp_tpu.utils.hostfp import cache_dir as _hostfp_dir
+from cavp_tpu.utils.hostfp import set_compile_cache
 
-jax.config.update("jax_compilation_cache_dir", _hostfp_dir("/tmp/jax_tpu_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+set_compile_cache("/tmp/jax_tpu_cache")
 
 
 def main():

@@ -46,10 +46,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cavp_tpu.utils.hostfp import cache_dir as _hostfp_dir
+from cavp_tpu.utils.hostfp import set_compile_cache
 
-jax.config.update("jax_compilation_cache_dir", _hostfp_dir("/tmp/jax_tpu_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+set_compile_cache("/tmp/jax_tpu_cache")
 
 NUM_CLASSES = 6
 EPOCHS = 60
@@ -107,16 +106,21 @@ def separation_probe(cfg, state, test_ds, n_videos=8):
     stride = lab.shape[1] // h
     lab_s = lab[:, ::stride, ::stride][:, :h, :w]
 
-    cents = []
+    cents, present = [], []
     for c in range(1, NUM_CLASSES):
         m = lab_s == c
         if m.sum() == 0:
             continue
         v = f[m].mean(0)
         cents.append(v / (np.linalg.norm(v) + 1e-8))
+        present.append(c)
     cents = np.stack(cents)
     within = []
-    for c, cen in zip(range(1, NUM_CLASSES), cents):
+    # iterate the PRESENT classes only: zipping range(1, NUM_CLASSES)
+    # against the skip-compacted cents would pair class c with another
+    # class's centroid whenever any class is absent at feature res
+    # (and an empty mask would NaN the mean)
+    for c, cen in zip(present, cents):
         m = lab_s == c
         within.append(float((f[m] @ cen).mean()))
     gram = cents @ cents.T

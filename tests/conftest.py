@@ -26,6 +26,5 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: CPU compiles of the conv towers are slow;
 # cache across test sessions.
-from cavp_tpu.utils.hostfp import cache_dir as _hostfp_dir
-jax.config.update("jax_compilation_cache_dir", _hostfp_dir("/tmp/jax_test_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from cavp_tpu.utils.hostfp import set_compile_cache
+set_compile_cache("/tmp/jax_test_cache", min_compile_secs=1.0)

@@ -273,6 +273,23 @@ class TestAdversarialServing:
         finally:
             conn.close()
 
+    def test_negative_content_length_is_400_without_reading(self, served):
+        """A negative Content-Length must not bypass the body cap:
+        read(-1) would buffer the whole stream (unbounded RAM / hang)."""
+        import http.client
+
+        url, *_ = served
+        host = url.split("//")[1]
+        conn = http.client.HTTPConnection(host, timeout=30)
+        try:
+            conn.putrequest("POST", "/predict")
+            conn.putheader("Content-Length", "-1")
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400
+        finally:
+            conn.close()
+
     def test_pickle_payload_is_400(self, served):
         """npz bodies must never reach pickle: an object-array archive
         is refused (allow_pickle=False) as a 400, not executed."""

@@ -24,61 +24,38 @@ import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 from cavp_tpu.utils.hostfp import set_compile_cache
 
 set_compile_cache("/tmp/jax_tpu_cache")
 
 
 def main():
-    from cavp_tpu.config import get_config
-    from cavp_tpu.data.synthetic import synthetic_eval_batch
-    from cavp_tpu.engine.loops import eval_metrics_init, make_eval_step
-    from cavp_tpu.engine.runner import build_model
+    import os
+    import sys
 
-    config = get_config("avss").replace(
-        image_width=224, image_height=224, compute_dtype="bfloat16",
-        use_pallas_fusion=True)
-    model = build_model(config)
-    rng = jax.random.PRNGKey(0)
-    image = jnp.zeros((1, 224, 224, 3), jnp.float32)
-    audio = jnp.zeros((1, 96, 64, 1), jnp.float32)
-    # zero-init via eval_shape: throughput does not depend on param
-    # values, and the real init is hundreds of small compiles that
-    # dominate wall-clock over the remote-compile transport.
-    shapes = jax.eval_shape(lambda r: model.init(r, image, audio,
-                                                 eval_mode=True), rng)
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from _bench_util import (eval_bench_setup, headline_eval_config,
+                             timed_eval_fps)
+    from cavp_tpu.engine.loops import eval_metrics_init
 
-    eval_step = jax.jit(make_eval_step(model, config))
-
+    config = headline_eval_config()
     # ---- batched (ours): 12 videos x 10 frames, metrics on device,
     # one host sync per measurement window. B=120 won the round-4 batch
     # sweep (scripts/bench_eval_batch.py: 2803 f/s vs 2707 at B=80,
     # +3.6%; B=160/240 regress — the metric one-hot matmuls' operands
     # outgrow what overlaps with the tower at larger B).
+    # Zero-init via eval_shape inside the scaffold: throughput does not
+    # depend on param values, and the real init is hundreds of small
+    # compiles that dominate wall-clock over the remote transport.
     BATCH = 120
-    batch = {k: jnp.asarray(v) for k, v in
-             synthetic_eval_batch(config, BATCH).items()}
-    metrics = eval_metrics_init(config.num_classes)
-
-    metrics = eval_step(variables, metrics, batch)   # compile
-    _ = np.asarray(metrics.miou_all.inter)
+    model, variables, eval_step, batch, metrics = eval_bench_setup(
+        config, BATCH)
     # best of 3 windows: the tunnel's per-sync RTT jitter showed up as a
     # 132-193x spread in the recorded ratio across rounds; a best-of
     # window is the standard fix and measures the same steady state.
-    n_iters = 20
-    best_dt = float("inf")
-    for _window in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            metrics = eval_step(variables, metrics, batch)
-        _ = np.asarray(metrics.miou_all.inter)       # hard sync
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    ours = BATCH * n_iters / best_dt
+    ours = timed_eval_fps(eval_step, variables, batch, metrics, BATCH,
+                          n_iters=20)
 
     # ---- reference-style loop: batch-1 frames, per-frame host sync
     one = {k: v[:1] for k, v in batch.items()}

@@ -403,7 +403,12 @@ def _make_visual_feature_fn(model, config):
 
     def fea_v_fn(variables, image):
         h, w = image.shape[1:3]
-        if not (layer1_fits(h // 4, w // 4) and "batch_stats" in variables):
+        # True stem map size: two SAME stride-2 stages round UP, so the
+        # map is ceil(h/4) — h//4 under-counts for h just above a
+        # multiple of 4 (385 -> 97, not 96) and would route a too-big
+        # map into the kernel's hard ValueError instead of falling back.
+        sh, sw = -(-h // 4), -(-w // 4)
+        if not (layer1_fits(sh, sw) and "batch_stats" in variables):
             return model.apply(variables, image, False,
                                method="forward_visual_feature")
         stem = model.apply(variables, image, False,

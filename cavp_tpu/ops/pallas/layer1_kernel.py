@@ -54,12 +54,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 _F32 = jnp.float32
 
-# VMEM budget gate: scratch + in/out blocks + live intermediates for a
-# [H+2, W+2] tile. 96x96 keeps the peak well under the ~16 MB/core VMEM
-# (56x56 bench shape: ~7 MB peak). Larger maps fall back to the module
-# path (512-sq eval -> 128-sq maps would need row-tiling with chained
-# halos — not worth it until a ladder names it).
-_MAX_HW = 96 * 96
+# VMEM budget gate. The unrolled 3-block chain's Mosaic stack measured
+# ~17 MB at 56x56 under the declared 20 MB ``vmem_limit_bytes`` (see the
+# compiler_params note below); the stack scales ~linearly with pixels,
+# so anything above the measured 56x56 map would fail Mosaic's scoped-
+# memory check at compile time instead of running. Gate at exactly the
+# measured shape; larger maps (320/384/512-sq images) fall back to the
+# module path (row-tiling with chained halos would be needed — not
+# worth it until a ladder names it).
+_MAX_HW = 56 * 56
 
 
 def layer1_fits(h: int, w: int) -> bool:

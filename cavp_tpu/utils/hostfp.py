@@ -21,24 +21,25 @@ def _cpu_identity() -> str:
     """Best-effort stable description of this host's CPU ISA surface."""
     parts = [platform.machine()]
     try:
+        # Identity pass: microarchitecture naming only — feature lines
+        # are deliberately excluded here because their raw ordering is
+        # kernel-dependent (they enter sorted, below). `model name` is
+        # x86; implementer/part identify arm cores.
         with open("/proc/cpuinfo") as f:
             for line in f:
                 key = line.split(":", 1)[0].strip()
-                # `flags` (x86) / `Features` (arm) carry the ISA feature
-                # set the AOT code was specialised for; `model name`
-                # disambiguates microarchitecture-targeted codegen.
-                if key in ("flags", "Features", "model name"):
+                if key in ("model name", "CPU implementer", "CPU part"):
                     parts.append(line.split(":", 1)[1].strip())
                     break  # one core is enough; all cores are identical
             else:
                 parts.append("no-cpuinfo")
-        # Re-read for the feature line specifically (the loop above
-        # stops at whichever key appears first).
+        # Feature pass: `flags` (x86) / `Features` (arm) carry the ISA
+        # feature set the AOT code was specialised for. Sorted — flag
+        # ordering is not guaranteed across kernels.
         with open("/proc/cpuinfo") as f:
             for line in f:
                 key = line.split(":", 1)[0].strip()
                 if key in ("flags", "Features"):
-                    # Sort: flag ordering is not guaranteed across kernels.
                     parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
                     break
     except OSError:

@@ -13,14 +13,10 @@ use_pallas_layer1 off vs on — the keep/flip-the-default number.
 
 import json
 import sys
-import time
 
 sys.path.insert(0, ".")
 
-import numpy as np
-
 import jax
-import jax.numpy as jnp
 
 from cavp_tpu.utils.hostfp import set_compile_cache
 
@@ -30,49 +26,23 @@ B = 120
 
 
 def run(config, model, variables, batch):
+    from _bench_util import timed_eval_fps
     from cavp_tpu.engine.loops import eval_metrics_init, make_eval_step
 
     eval_step = jax.jit(make_eval_step(model, config))
     metrics = eval_metrics_init(config.num_classes)
-    metrics = eval_step(variables, metrics, batch)
-    _ = np.asarray(metrics.miou_all.inter)  # hard sync (compile + warm)
-    best = 0.0
-    for _rep in range(3):
-        n_iters = max(4, 1600 // B)
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            metrics = eval_step(variables, metrics, batch)
-        _ = np.asarray(metrics.miou_all.inter)
-        dt = time.perf_counter() - t0
-        best = max(best, B * n_iters / dt)
-    return best
+    return timed_eval_fps(eval_step, variables, batch, metrics, B)
 
 
 def main():
-    from cavp_tpu.config import get_config
-    from cavp_tpu.data.synthetic import synthetic_eval_batch
-    from cavp_tpu.engine.runner import build_model
+    from _bench_util import eval_bench_setup, headline_eval_config
 
-    base = get_config("avss").replace(
-        image_width=224, image_height=224, compute_dtype="bfloat16",
-        use_pallas_fusion=True)
-    model = build_model(base)
-    shapes = jax.eval_shape(
-        lambda r: model.init(r, jnp.zeros((1, 224, 224, 3), jnp.float32),
-                             jnp.zeros((1, 96, 64, 1), jnp.float32),
-                             eval_mode=True),
-        jax.random.PRNGKey(0))
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    # BN running vars of zeros give a huge folded scale; harmless for
-    # timing but make them 1.0 so both paths see realistic magnitudes.
-    variables = {
-        "params": variables["params"],
-        "batch_stats": jax.tree_util.tree_map(
-            lambda a: jnp.ones_like(a), variables["batch_stats"]),
-    }
-    batch = {k: jnp.asarray(v) for k, v in
-             synthetic_eval_batch(base, B).items()}
+    base = headline_eval_config()
+    # ones_batch_stats: the kernel arm folds BN — zero running vars give
+    # a huge folded scale; make them 1.0 so both arms see realistic
+    # magnitudes.
+    model, variables, _, batch, _ = eval_bench_setup(
+        base, B, ones_batch_stats=True)
 
     off = run(base, model, variables, batch)
     print(json.dumps({"what": "layer1_ab", "use_pallas_layer1": False,

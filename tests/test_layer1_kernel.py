@@ -73,7 +73,10 @@ class TestFusedLayer1:
         assert float(jnp.max(jnp.abs(got - ref))) < 0.02 * max(scale, 1.0)
 
     def test_vmem_gate(self):
-        assert layer1_fits(56, 56) and layer1_fits(96, 96)
+        assert layer1_fits(56, 56)
+        # Above the measured 56x56 shape the unrolled chain's Mosaic
+        # stack (~17 MB there) would exceed the declared 20 MB limit.
+        assert not layer1_fits(96, 96)
         assert not layer1_fits(128, 128)
 
 

@@ -64,6 +64,7 @@ def corocl_loss(
     max_views: int = 512,
     class_slots: int = 8,
     ignore_index: int = 255,
+    _legacy_norm_all: bool = False,   # bench A/B only: pre-round-5 path
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     B, h, w, C = embeds_match.shape
     P = B * h * w
@@ -76,11 +77,23 @@ def corocl_loss(
     gt_s = interpolate_nearest(gt_shuffle, (h, w)).reshape(P)
 
     def _norm(e):
-        e = e.reshape(P, C).astype(jnp.promote_types(e.dtype, jnp.float32))
+        e = e.astype(jnp.promote_types(e.dtype, jnp.float32))
         return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
 
-    em = _norm(embeds_match)
-    es = _norm(embeds_shuffle)
+    # Gather-before-normalize (round 5, exact): only ~(S+2)*V anchor rows
+    # of the [P, C] embedding maps are ever used, and L2-normalization is
+    # row-wise, so it commutes with the row gather — normalizing the
+    # gathered rows is bitwise the same per-row computation while skipping
+    # the O(P*C) normalize fwd+bwd over the un-sampled ~95% (P grows with
+    # batch: 100k at b32, 401k at the b128 production point) and moving
+    # the gather/scatter-backward onto the raw compute-dtype rows.
+    em = embeds_match.reshape(P, C)
+    es = embeds_shuffle.reshape(P, C)
+    if _legacy_norm_all:              # the old normalize-all-P-rows path
+        em, es = _norm(em), _norm(es)
+        post_norm = lambda a: a       # noqa: E731
+    else:
+        post_norm = _norm
 
     fg_mask = (gt_m > 0) & (gt_m != ignore_index)
     bg_mask = gt_m == 0
@@ -105,7 +118,7 @@ def corocl_loss(
         return idx
 
     cls_idx = jax.vmap(sample_class)(keys[:class_slots], slot_class)  # [S, V]
-    cls_anchor = em[cls_idx.reshape(-1)]                 # [S*V, C]
+    cls_anchor = post_norm(em[cls_idx.reshape(-1)])      # [S*V, C]
     cls_labels = jnp.repeat(slot_class, max_views)
     cls_valid = jnp.repeat(slot_valid, max_views)
 
@@ -116,12 +129,12 @@ def corocl_loss(
     within = jnp.arange(max_views)
 
     bg_idx, bg_hit = _sample_group(keys[-2], bg_mask, max_views)
-    bg_anchor = em[bg_idx]
+    bg_anchor = post_norm(em[bg_idx])
     bg_labels = gt_m[bg_idx]
     bg_valid = bg_hit & (within < sample_num)
 
     sh_idx, sh_hit = _sample_group(keys[-1], fg_mask, max_views)
-    sh_anchor = es[sh_idx]
+    sh_anchor = post_norm(es[sh_idx])
     sh_labels = gt_s[sh_idx]
     sh_valid = sh_hit & (within < sample_num)
 

@@ -40,15 +40,37 @@ from cavp_tpu.ops.interp import interpolate_nearest
 _NEG_INF = -1e9
 
 
-def _sample_group(key, scores_mask, num_samples: int):
+def _topk_blocked(scores, num_samples: int, block: int):
+    """Exact top-k via per-block pre-selection: every element of the
+    global top-k is within its own block's top-k (blocks keep >= k
+    candidates), so a per-block top-k followed by a top-k over the
+    B*k survivors returns exactly the global top-k set, in the same
+    descending value order as ``lax.top_k``. TPU's top-k lowering is an
+    iterative partial sort over the row — cutting the row length from
+    P to ``block`` (here: one image's h*w) is a pure win for large P."""
+    p = scores.shape[0]
+    nb = p // block
+    tb, ib = jax.lax.top_k(scores.reshape(nb, block), num_samples)
+    flat_ib = ib + (jnp.arange(nb, dtype=ib.dtype) * block)[:, None]
+    top, ci = jax.lax.top_k(tb.reshape(-1), num_samples)
+    return top, flat_ib.reshape(-1)[ci]
+
+
+def _sample_group(key, scores_mask, num_samples: int, block: int = 0):
     """Uniform sample-without-replacement of ``num_samples`` indices from
     the True positions of ``scores_mask`` [P]. Returns (idx [num_samples],
     valid [num_samples]) where valid marks draws that hit a True position
-    (when fewer than num_samples are available the tail is invalid)."""
+    (when fewer than num_samples are available the tail is invalid).
+
+    ``block`` > 0 selects the exact blocked top-k (requires block >=
+    num_samples and block | P); 0 falls back to the flat ``lax.top_k``."""
     p = scores_mask.shape[0]
     scores = jax.random.uniform(key, (p,))
     scores = jnp.where(scores_mask, scores, _NEG_INF)
-    top, idx = jax.lax.top_k(scores, num_samples)
+    if block and block >= num_samples and p % block == 0 and p > block:
+        top, idx = _topk_blocked(scores, num_samples, block)
+    else:
+        top, idx = jax.lax.top_k(scores, num_samples)
     return idx, top > _NEG_INF / 2
 
 
@@ -65,6 +87,7 @@ def corocl_loss(
     class_slots: int = 8,
     ignore_index: int = 255,
     _legacy_norm_all: bool = False,   # bench A/B only: pre-round-5 path
+    _blocked_topk: bool = False,      # recorded tie in context; flat default
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     B, h, w, C = embeds_match.shape
     P = B * h * w
@@ -113,8 +136,15 @@ def corocl_loss(
 
     keys = jax.random.split(key, class_slots + 2)
 
+    # Per-image-block exact top-k: measured a tie in the full step at
+    # both b32 and b128 (scripts/bench_corocl_topk.py — the sampler's
+    # top-k overlaps with neighboring work), so the flat form stays
+    # default and the blocked one is kept as a recorded experiment.
+    blk = h * w if _blocked_topk else 0
+
     def sample_class(slot_key, cls):
-        idx, _ = _sample_group(slot_key, fg_mask & (gt_m == cls), max_views)
+        idx, _ = _sample_group(slot_key, fg_mask & (gt_m == cls), max_views,
+                               block=blk)
         return idx
 
     cls_idx = jax.vmap(sample_class)(keys[:class_slots], slot_class)  # [S, V]
@@ -128,12 +158,12 @@ def corocl_loss(
     sample_num = jnp.minimum(jnp.minimum(max_views, n_shuf), n_bg)
     within = jnp.arange(max_views)
 
-    bg_idx, bg_hit = _sample_group(keys[-2], bg_mask, max_views)
+    bg_idx, bg_hit = _sample_group(keys[-2], bg_mask, max_views, block=blk)
     bg_anchor = post_norm(em[bg_idx])
     bg_labels = gt_m[bg_idx]
     bg_valid = bg_hit & (within < sample_num)
 
-    sh_idx, sh_hit = _sample_group(keys[-1], fg_mask, max_views)
+    sh_idx, sh_hit = _sample_group(keys[-1], fg_mask, max_views, block=blk)
     sh_anchor = post_norm(es[sh_idx])
     sh_labels = gt_s[sh_idx]
     sh_valid = sh_hit & (within < sample_num)

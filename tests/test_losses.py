@@ -116,6 +116,43 @@ class TestCoroCL:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
 
+    def test_blocked_topk_equals_flat(self):
+        """The round-5 per-image-block exact top-k (losses/corocl.py
+        _topk_blocked) must return the identical selection, in the same
+        order, as the flat lax.top_k — for every (B, hw, k) shape class
+        the sampler hits, including sparse masks."""
+        from cavp_tpu.losses.corocl import _sample_group
+
+        rng = np.random.RandomState(7)
+        for B, hw, k in ((4, 64, 16), (8, 3136 // 4, 64), (2, 3136, 512)):
+            P = B * hw
+            for density in (1.0, 0.3, 0.01):
+                mask = jnp.asarray(rng.rand(P) < density)
+                key = jax.random.PRNGKey(int(density * 100) + P)
+                i_flat, v_flat = _sample_group(key, mask, k, block=0)
+                i_blk, v_blk = _sample_group(key, mask, k, block=hw)
+                np.testing.assert_array_equal(np.asarray(v_flat),
+                                              np.asarray(v_blk))
+                # valid draws must match exactly (invalid tails may
+                # legitimately differ — they are -inf ties)
+                vf = np.asarray(v_flat)
+                np.testing.assert_array_equal(
+                    np.asarray(i_flat)[vf], np.asarray(i_blk)[vf])
+
+    def test_loss_identical_flat_vs_blocked(self):
+        h, w, C, mv, gt, em, es, gts = self._deterministic_case()
+        args = (jnp.asarray(em.reshape(1, h, w, C)),
+                jnp.asarray(gt.reshape(1, h, w)),
+                jnp.asarray(es.reshape(1, h, w, C)),
+                jnp.asarray(gts.reshape(1, h, w)))
+        kw = dict(num_classes=4, max_views=mv, class_slots=4)
+        # 2-image batch so nb > 1 and the blocked path actually engages
+        args2 = tuple(jnp.concatenate([a, a], axis=0) for a in args)
+        l_flat, _ = corocl_loss(jax.random.PRNGKey(3), *args2, **kw)
+        l_blk, _ = corocl_loss(jax.random.PRNGKey(3), *args2,
+                               _blocked_topk=True, **kw)
+        assert float(l_flat) == float(l_blk)
+
 
 class TestOhem:
     def test_keeps_hard_pixels(self):

@@ -235,10 +235,14 @@ def _bwd_kernel(x_ref, wqk_ref, m_ref,
 # host wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _pick_block(n: int, dtype, cap: int = 256) -> int:
+def _pick_block(n: int, dtype, cap: int = 512) -> int:
     """Largest sublane-aligned divisor of n <= cap; if none exists the
     token axis is padded (zero-cotangent pad rows contribute nothing to
-    any gradient accumulator, so padding is grad-exact too)."""
+    any gradient accumulator, so padding is grad-exact too).
+
+    cap=512 -> block 448 at N=3136: the round-5 chip sweep
+    (scripts/bench_train_block.py) measured 448 > 224 (+0.9-1.0% b128,
+    +0.6% b32) and 784 negative (-1.1%); losses identical per block."""
     req = 16 if dtype == jnp.bfloat16 else 8
     best = 0
     for t in range(req, min(n, cap) + 1, req):

@@ -69,10 +69,14 @@ def main():
         finally:
             ftk._pick_block = real_pick
 
+    if not losses:
+        emit(error="no arm compiled"); return
     if len({round(v, 5) for v in losses.values()}) > 1:
         emit(warning="losses differ across blocks", losses=losses)
+    elif len(losses) > 1:
+        emit(step1_losses_equal=True, loss=next(iter(losses.values())))
     else:
-        emit(step1_losses_equal=True, loss=list(losses.values())[0])
+        emit(single_surviving_arm=True, losses=losses)
 
     iters = 5
     results = {c: [] for c in arms}

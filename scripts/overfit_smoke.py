@@ -43,7 +43,11 @@ def main():
         image_width=224, image_height=224, num_classes=6, batch_size=8,
         epochs=90, lr=3e-3, resize_flag=True, num_workers=8,
         compute_dtype="bfloat16", ignore_ckpt=True, max_view=128,
-        class_slots=8, warm_up_epoch=5)
+        class_slots=8, warm_up_epoch=5,
+        # --fused runs the recommended TPU flag combo (the round-4/5
+        # fused train kernel) so the dynamics proof covers the
+        # production path, not just the module path
+        use_pallas_fusion_train="--fused" in sys.argv)
 
     class Cached:
         """Memoize decoded items: the 1-core tunnel host re-decoding

@@ -87,7 +87,12 @@ def zero_train_state(model, tx, config, batch_size):
     from cavp_tpu.models.soundbank import init_bank
 
     variables = zero_variables(
-        model, (config.image_height, config.image_width))
+        model, (config.image_height, config.image_width),
+        # derive the init-mel shape from the config so non-avss setups
+        # (3-s mel -> 300 frames, VPO stereo -> 2 channels) init the
+        # audio tower with the right channel count
+        audio_shape=(1, getattr(config, "mel_frames", 96), 64,
+                     getattr(config, "in_plane", 1)))
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32), params=params,

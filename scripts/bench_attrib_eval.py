@@ -33,7 +33,8 @@ from cavp_tpu.utils.hostfp import set_compile_cache
 set_compile_cache("/tmp/jax_tpu_cache")
 
 V5E_BF16_PEAK = 197e12
-BS = 80
+import sys as _sys
+BS = int(_sys.argv[1]) if len(_sys.argv) > 1 else 80
 HW = 224
 
 

@@ -77,9 +77,18 @@ def fg_update(
     return out
 
 
-def _nanmean(x: jnp.ndarray) -> jnp.ndarray:
-    finite = jnp.isfinite(x)
-    return jnp.sum(jnp.where(finite, x, 0.0)) / jnp.maximum(jnp.sum(finite), 1)
+def _masked_mean(vals: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Mean of ``vals`` over ``valid`` entries; NaN only when no entry is
+    valid (the reference's nanmean-over-present-classes semantics,
+    eval_utils.py:124-149). Formulated WITHOUT NaN intermediates: this
+    runs eagerly at result time, where ``--debug``'s nan-guard
+    (jax_debug_nans, engine/runner.py) checks every op — the previous
+    ``nanmean(where(cond, x/y, nan))`` idiom crashed any eval with an
+    absent class under it (0/0 in the discarded branch + sentinel NaNs;
+    found driving the CLI end-to-end in round 5)."""
+    cnt = jnp.sum(valid)
+    s = jnp.sum(jnp.where(valid, vals, 0.0))
+    return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), jnp.nan)
 
 
 def fg_result(confusion: jnp.ndarray, class_list=None
@@ -92,10 +101,16 @@ def fg_result(confusion: jnp.ndarray, class_list=None
         sel = jnp.asarray(class_list)
         tp, fp, fn = tp[sel], fp[sel], fn[sel]
 
-    fdr = _nanmean(jnp.where(fp + tp > 0, fp / (fp + tp), jnp.nan))
+    # exactness of max(denom, 1): counts are integers in f32, so a valid
+    # fdr denominator (pos > 0) is >= 1 and the max is a no-op; f_beta's
+    # denom can be sub-1 only when tp = fp = 0 (0.3*fn), where the
+    # numerator is 0 and the quotient is 0 under either denominator
+    pos = fp + tp
+    fdr = _masked_mean(fp / jnp.maximum(pos, 1), pos > 0)
 
     def f_beta(beta2):
         denom = (1 + beta2) * tp + beta2 * fn + fp
-        return _nanmean(jnp.where(denom > 0, (1 + beta2) * tp / denom, jnp.nan))
+        return _masked_mean((1 + beta2) * tp / jnp.maximum(denom, 1),
+                            denom > 0)
 
     return fdr, f_beta(1.0), f_beta(0.3)

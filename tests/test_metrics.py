@@ -88,6 +88,33 @@ class TestFgDetect:
             np.testing.assert_allclose(
                 float(f1), np.nanmean(2 * tp / (2 * tp + fn + fp)), rtol=1e-6)
 
+    def test_absent_classes_nanmean_semantics(self):
+        """Classes with no predictions AND no labels are excluded from the
+        means (reference nanmean over present classes)."""
+        conf = np.zeros((4, 4), np.float32)
+        conf[1, 1] = 10  # one perfectly-predicted present class
+        conf[2, 1] = 2   # class-2 labels predicted as 1
+        fdr, f1, f03 = fg_result(jnp.asarray(conf))
+        # fdr over classes with tp+fp>0: only class 1 -> 2/12
+        np.testing.assert_allclose(float(fdr), 2 / 12, rtol=1e-6)
+        assert np.isfinite(float(f1)) and np.isfinite(float(f03))
+
+    def test_result_under_debug_nans_guard(self):
+        """--debug turns on jax_debug_nans (engine/runner.py) as the
+        nan-guard; the result math must not trip it on absent classes.
+        Regression for the round-5 CLI find: the old nan-sentinel
+        nanmean crashed any eval where some class never appeared."""
+        import jax
+
+        conf = np.zeros((6, 6), np.float32)
+        conf[1, 1] = 5   # most classes absent
+        jax.config.update("jax_debug_nans", True)
+        try:
+            fdr, f1, f03 = fg_result(jnp.asarray(conf))
+            assert np.isfinite(float(fdr))
+        finally:
+            jax.config.update("jax_debug_nans", False)
+
 
 class TestMaskIoU:
     def test_against_numpy(self):
